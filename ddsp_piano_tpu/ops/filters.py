@@ -1,0 +1,167 @@
+"""FIR filtering ops: frequency-sampled filters and FFT convolution.
+
+JAX equivalents of the ``ddsp.core`` filtering surface consumed by the
+reference's noise synth and reverbs (frequency_filter at
+/root/reference/ddsp_piano/modules/filtered_noise_synth.py:41-42;
+fft_convolve at /root/reference/ddsp_piano/modules/fdn_reverb.py:407-410).
+
+Design notes (TPU): the time-varying FIR path is expressed as batched rfft /
+irfft + a windowed overlap-add. XLA lowers these to fused TPU FFTs; the
+overlap-add is re-expressed as a pad+reshape+sum (two shifted interleavings)
+instead of a scatter, which TPU handles poorly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu.ops import core
+
+Array = jax.Array
+
+
+def get_fft_size(frame_size: int, ir_size: int,
+                 power_of_2: bool = True) -> int:
+    """Smallest FFT length holding the linear convolution of the two."""
+    conv_size = frame_size + ir_size - 1
+    if power_of_2:
+        return int(2 ** math.ceil(math.log2(conv_size)))
+    return conv_size
+
+
+def overlap_and_add(frames: Array, frame_step: int) -> Array:
+    """Overlap-add (..., n_frames, frame_length) -> (..., output_len).
+
+    Equivalent to tf.signal.overlap_and_add, implemented scatter-free:
+    each frame is split into segments of frame_step, laid out on a
+    (n_frames + n_segments - 1, frame_step) grid diagonally and summed.
+    """
+    *batch, n_frames, frame_length = frames.shape
+    out_len = frame_step * (n_frames - 1) + frame_length
+    if frame_length % frame_step != 0:
+        # Generic (rare) case: pad frame length up to a multiple of step.
+        pad = frame_step - frame_length % frame_step
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
+        frame_length += pad
+    segments = frame_length // frame_step
+    # (..., n_frames, segments, frame_step)
+    x = frames.reshape(*batch, n_frames, segments, frame_step)
+    out_frames = n_frames + segments - 1
+    # Accumulate each segment diagonal at its shifted position.
+    out = jnp.zeros((*batch, out_frames, frame_step), dtype=frames.dtype)
+    for s in range(segments):
+        out = out.at[..., s:s + n_frames, :].add(x[..., :, s, :])
+    return out.reshape(*batch, out_frames * frame_step)[..., :out_len]
+
+
+def crop_and_compensate_delay(audio: Array, audio_size: int, ir_size: int,
+                              padding: str = 'same',
+                              delay_compensation: int = -1) -> Array:
+    """Crop convolution output and compensate filter group delay."""
+    if padding == 'valid':
+        crop_size = ir_size + audio_size - 1
+    elif padding == 'same':
+        crop_size = audio_size
+    else:
+        raise ValueError(f"padding must be 'valid' or 'same', got {padding!r}")
+    start = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
+             else delay_compensation)
+    return audio[..., start:start + crop_size]
+
+
+def fft_convolve(audio: Array, impulse_response: Array,
+                 padding: str = 'same',
+                 delay_compensation: int = -1) -> Array:
+    """(Time-varying) FIR filtering of audio via FFT block convolution.
+
+    Args:
+        audio: (batch, n_samples).
+        impulse_response: (batch, ir_size) for a single IR, or
+            (batch, n_frames, ir_size) for a time-varying filter; the audio
+            is cut into n_frames equal blocks, each convolved with its IR,
+            then overlap-added.
+    """
+    audio = core.f32(audio)
+    impulse_response = core.f32(impulse_response)
+    batch_size, audio_size = audio.shape
+    if impulse_response.ndim == 2:
+        impulse_response = impulse_response[:, jnp.newaxis, :]
+    batch_size_ir, n_ir_frames, ir_size = impulse_response.shape
+    if batch_size_ir not in (batch_size, 1):
+        raise ValueError(
+            f"Batch size of impulse response ({batch_size_ir}) must match "
+            f"audio ({batch_size}) or be 1.")
+
+    frame_size = -(-audio_size // n_ir_frames)
+    hop_size = frame_size
+    # Non-overlapping framing with end padding.
+    pad = n_ir_frames * frame_size - audio_size
+    audio_frames = jnp.pad(audio, ((0, 0), (0, pad))).reshape(
+        batch_size, n_ir_frames, frame_size)
+
+    fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
+    audio_fft = jnp.fft.rfft(audio_frames, n=fft_size, axis=-1)
+    ir_fft = jnp.fft.rfft(impulse_response, n=fft_size, axis=-1)
+    audio_frames_out = jnp.fft.irfft(audio_fft * ir_fft, n=fft_size, axis=-1)
+    audio_out = overlap_and_add(audio_frames_out, hop_size)
+    return crop_and_compensate_delay(audio_out, audio_size, ir_size, padding,
+                                     delay_compensation)
+
+
+def apply_window_to_impulse_response(impulse_response: Array,
+                                     window_size: int = 0,
+                                     causal: bool = False) -> Array:
+    """Window a zero-phase-form IR with a Hann window; return causal form."""
+    impulse_response = core.f32(impulse_response)
+    if causal:
+        impulse_response = jnp.fft.fftshift(impulse_response, axes=-1)
+    ir_size = impulse_response.shape[-1]
+    if window_size <= 0 or window_size > ir_size:
+        window_size = ir_size
+    window = core.hann_window(window_size, periodic=True)
+    padding = ir_size - window_size
+    if padding > 0:
+        half_idx = (window_size + 1) // 2
+        window = jnp.concatenate(
+            [window[half_idx:], jnp.zeros((padding,), jnp.float32),
+             window[:half_idx]], axis=0)
+    else:
+        window = jnp.fft.fftshift(window, axes=-1)
+    impulse_response = window * impulse_response
+    if padding > 0:
+        first_half_start = (ir_size - (half_idx - 1)) + 1
+        second_half_end = half_idx + 1
+        impulse_response = jnp.concatenate(
+            [impulse_response[..., first_half_start:],
+             impulse_response[..., :second_half_end]], axis=-1)
+    else:
+        impulse_response = jnp.fft.fftshift(impulse_response, axes=-1)
+    return impulse_response
+
+
+def frequency_impulse_response(magnitudes: Array,
+                               window_size: int = 0) -> Array:
+    """Linear-phase FIR from frequency-band magnitudes (zero phase assumed)."""
+    impulse_response = jnp.fft.irfft(
+        jnp.asarray(magnitudes, dtype=jnp.complex64), axis=-1)
+    return apply_window_to_impulse_response(impulse_response.real,
+                                            window_size=window_size)
+
+
+def frequency_filter(audio: Array, magnitudes: Array, window_size: int = 0,
+                     padding: str = 'same') -> Array:
+    """Time-varying FIR filtering from frame-rate frequency magnitudes.
+
+    Args:
+        audio: (batch, n_samples).
+        magnitudes: (batch, n_frames, n_bands) strictly-positive filter
+            magnitudes sampled on the rfft grid.
+    """
+    impulse_response = frequency_impulse_response(magnitudes,
+                                                  window_size=window_size)
+    return fft_convolve(audio, impulse_response, padding=padding,
+                        delay_compensation=-1)

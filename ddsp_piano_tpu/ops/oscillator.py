@@ -1,0 +1,288 @@
+"""Additive cosine oscillator bank (L0 hot op).
+
+Re-designs the reference's oscillator pipeline (inharm_synth.py:49-127:
+resample envelopes to audio rate -> cumsum phase over n_samples -> cos ->
+amp-multiply -> reduce over partials) as a TPU-first *framewise closed form*:
+
+The reference materializes (batch, n_samples, n_partials) frequency and
+amplitude envelopes in HBM and runs a serial length-n_samples cumsum. On TPU
+that is bandwidth-bound and scan-unfriendly. Instead we exploit that both
+resampling methods used by the reference are piecewise-closed-form per frame:
+
+- 'linear' frequency envelopes (legacy bilinear coordinates) are linear in
+  the intra-frame sample offset s:  f(k, s) = f_lo[k] + (s/up) * df[k]
+- 'window' amplitude envelopes (overlapping Hann) are a raised-cosine
+  crossfade:  a(k, s) = a_lo[k] + h[s] * (a_hi[k] - a_lo[k]),
+  h[s] = sin^2(pi s / (2 up))
+
+so the inclusive phase cumsum decomposes into a *frame-rate* cumsum of
+per-frame phase increments plus an intra-frame closed form:
+
+  phase(k, s) = P[k] + w_scale * ((s+1) f_lo[k] + df[k] s(s+1) / (2 up))
+  P[k] = sum_{k'<k} w_scale * (up f_lo[k'] + df[k'] (up-1)/2)   (mod 2pi)
+
+This needs only O(n_frames x n_partials) HBM traffic for controls plus the
+O(n_samples) output, a ~2*n_partials reduction in bandwidth, and replaces the
+serial n_samples cumsum with an n_frames one. Keeping P mod 2pi also gives
+the numerical robustness of the reference's inference-only angular_cumsum
+(inharm_synth.py:73-77) in *all* modes.
+
+Both the plain-jnp framewise renderer and the ddsp-exact envelope pipeline
+(`oscillator_bank_envelopes`, kept for parity tests) are provided; a Pallas
+TPU kernel consuming the same framewise controls lives in
+ddsp_piano_tpu.kernels.oscillator_pallas.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu.ops import core
+
+Array = jax.Array
+
+_2PI = 2.0 * math.pi
+
+
+# -----------------------------------------------------------------------------
+# Reference-exact envelope pipeline (for parity testing / arbitrary envelopes)
+# -----------------------------------------------------------------------------
+
+
+def oscillator_bank_envelopes(frequency_envelopes: Array,
+                              amplitude_envelopes: Array,
+                              sample_rate: int = 16000,
+                              sum_sinusoids: bool = True,
+                              use_angular_cumsum: bool = False) -> Array:
+    """Cosine oscillator bank from sample-rate envelopes.
+
+    Mirrors reference cos_oscillator_bank (inharm_synth.py:49-84): Nyquist
+    mask, Hz -> rad/sample, cumulative phase (plain or chunked-mod), cos.
+
+    Args:
+        frequency_envelopes: (batch, n_samples, n_sins) in Hz.
+        amplitude_envelopes: (batch, n_samples, n_sins).
+    Returns:
+        (batch, n_samples) if sum_sinusoids else (batch, n_samples, n_sins).
+    """
+    frequency_envelopes = core.f32(frequency_envelopes)
+    amplitude_envelopes = core.remove_above_nyquist(
+        frequency_envelopes, amplitude_envelopes, sample_rate)
+    omegas = frequency_envelopes * (_2PI / float(sample_rate))
+    if use_angular_cumsum:
+        phases = core.angular_cumsum(omegas)
+    else:
+        phases = jnp.cumsum(omegas, axis=1)
+    audio = amplitude_envelopes * jnp.cos(phases)
+    if sum_sinusoids:
+        audio = jnp.sum(audio, axis=-1)
+    return audio
+
+
+# -----------------------------------------------------------------------------
+# Framewise closed form
+# -----------------------------------------------------------------------------
+
+
+class FramewiseOscControls(NamedTuple):
+    """Frame-rate controls fully determining the audio-rate render.
+
+    All fields are (batch, n_frames, n_partials) float32.
+    """
+    f_lo: Array      # frequency at frame start (Hz)
+    f_hi: Array      # frequency at next frame (clamped at the end) (Hz)
+    a_lo: Array      # amplitude at frame start
+    a_hi: Array      # amplitude at next frame (clamped at the end)
+    phase0: Array    # accumulated phase at frame start, mod 2pi (radians)
+
+
+def framewise_osc_controls(harmonic_frequencies: Array,
+                           harmonic_amplitudes: Array,
+                           upsampling: int,
+                           sample_rate: int,
+                           initial_phase: Optional[Array] = None,
+                           lookahead: bool = False
+                           ) -> FramewiseOscControls:
+    """Precompute frame-rate oscillator controls (the cheap part).
+
+    Args:
+        harmonic_frequencies: (batch, n_frames, n_partials) Hz.
+        harmonic_amplitudes: (batch, n_frames, n_partials).
+        upsampling: samples per frame (sample_rate / frame_rate).
+        sample_rate: audio sample rate.
+        initial_phase: optional (batch, 1, n_partials) carry phase for
+            streaming synthesis (radians); defaults to zero.
+        lookahead: if True the last input frame is used only as the
+            interpolation endpoint (renders n_frames - 1 frames). This is
+            the chunk-exact streaming mode: passing chunk [k, k+n+1) with
+            the phase carried from the previous chunk reproduces the
+            one-shot render bit-for-bit away from float error.
+    """
+    f = core.f32(harmonic_frequencies)
+    a = core.f32(harmonic_amplitudes)
+    if lookahead:
+        f, f_hi = f[:, :-1], f[:, 1:]
+        a, a_hi = a[:, :-1], a[:, 1:]
+    else:
+        f_hi = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+        a_hi = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    up = float(upsampling)
+    w_scale = _2PI / float(sample_rate)
+    # Per-frame phase increment of the linearly-interpolated frequency ramp:
+    # sum_{s=0}^{up-1} w(k, s) = w_scale * (up * f_lo + df * (up - 1) / 2).
+    inc = w_scale * (up * f + (f_hi - f) * ((up - 1.0) / 2.0))
+    inc = jnp.mod(inc, _2PI)
+    phase0 = jnp.mod(jnp.cumsum(inc, axis=1) - inc, _2PI)
+    if initial_phase is not None:
+        phase0 = jnp.mod(phase0 + core.f32(initial_phase), _2PI)
+    return FramewiseOscControls(f, f_hi, a, a_hi, phase0)
+
+
+def framewise_final_phase(controls: FramewiseOscControls,
+                          upsampling: int, sample_rate: int) -> Array:
+    """Phase carry after the last frame, for streaming synthesis.
+
+    Returns (batch, 1, n_partials) radians, mod 2pi: the phase an
+    (exclusive) accumulation would reach at the first sample of the next
+    chunk.
+    """
+    up = float(upsampling)
+    w_scale = _2PI / float(sample_rate)
+    last_inc = w_scale * (up * controls.f_lo[:, -1:] +
+                          (controls.f_hi[:, -1:] - controls.f_lo[:, -1:])
+                          * ((up - 1.0) / 2.0))
+    return jnp.mod(controls.phase0[:, -1:] + last_inc, _2PI)
+
+
+def render_framewise(controls: FramewiseOscControls,
+                     upsampling: int,
+                     sample_rate: int,
+                     sum_sinusoids: bool = True) -> Array:
+    """Render audio from framewise controls with plain jnp (XLA-fused).
+
+    Returns (batch, n_frames * upsampling) audio, or with a trailing
+    n_partials axis if sum_sinusoids=False.
+    """
+    f_lo, f_hi, a_lo, a_hi, phase0 = controls
+    b, n_frames, n_partials = f_lo.shape
+    up = upsampling
+    w_scale = _2PI / float(sample_rate)
+
+    s = jnp.arange(up, dtype=jnp.float32)                    # (up,)
+    s_col = s[jnp.newaxis, jnp.newaxis, :, jnp.newaxis]      # (1,1,up,1)
+    # Intra-frame phase: (s+1) * f_lo + df * s(s+1)/(2*up), scaled to radians.
+    df = (f_hi - f_lo)[:, :, jnp.newaxis, :]                 # (b,nf,1,K)
+    f0_ = f_lo[:, :, jnp.newaxis, :]
+    tri = (s_col * (s_col + 1.0)) * (0.5 / up)
+    phase = (phase0[:, :, jnp.newaxis, :]
+             + w_scale * ((s_col + 1.0) * f0_ + df * tri))   # (b,nf,up,K)
+    # Amplitude crossfade (Hann overlap-add closed form).
+    h = jnp.sin((math.pi / (2.0 * up)) * s) ** 2             # (up,)
+    h = h[jnp.newaxis, jnp.newaxis, :, jnp.newaxis]
+    amp = a_lo[:, :, jnp.newaxis, :] * (1.0 - h) + a_hi[:, :, jnp.newaxis, :] * h
+    # Sample-rate Nyquist mask on the interpolated frequency.
+    freq = f0_ + df * (s_col * (1.0 / up))
+    amp = amp * (freq < sample_rate / 2.0).astype(jnp.float32)
+
+    wav = amp * jnp.cos(phase)                               # (b,nf,up,K)
+    if sum_sinusoids:
+        audio = jnp.sum(wav, axis=-1)                        # (b,nf,up)
+        return audio.reshape(b, n_frames * up)
+    return wav.reshape(b, n_frames * up, n_partials)
+
+
+# -----------------------------------------------------------------------------
+# Harmonic synthesis front door
+# -----------------------------------------------------------------------------
+
+
+def harmonic_synthesis(frequencies: Array,
+                       amplitudes: Array,
+                       harmonic_shifts: Optional[Array] = None,
+                       harmonic_distribution: Optional[Array] = None,
+                       n_samples: int = 64000,
+                       sample_rate: int = 16000,
+                       amp_resample_method: str = 'window',
+                       sum_sinusoids: bool = True,
+                       use_angular_cumsum: bool = False,
+                       method: str = 'framewise',
+                       initial_phase: Optional[Array] = None,
+                       return_final_phase: bool = False,
+                       lookahead: bool = False):
+    """Frame-rate harmonic controls -> audio.
+
+    Behavioral equivalent of reference harmonic_synthesis
+    (inharm_synth.py:87-127). `method='framewise'` (default) uses the fused
+    closed-form path; `method='envelopes'` reproduces the reference's
+    resample-then-cumsum pipeline exactly (used in parity tests).
+
+    Args:
+        frequencies: (batch, n_frames, 1) fundamental in Hz.
+        amplitudes: (batch, n_frames, 1) global amplitude.
+        harmonic_shifts: optional (batch, n_frames, n_harmonics).
+        harmonic_distribution: optional (batch, n_frames, n_harmonics).
+        n_samples: output length; the framewise path requires
+            n_samples % n_frames == 0.
+        initial_phase: optional (batch, 1, n_harmonics) streaming phase carry.
+        return_final_phase: if True, also return the end-of-chunk phase.
+    """
+    frequencies = core.f32(frequencies)
+    amplitudes = core.f32(amplitudes)
+
+    if harmonic_distribution is not None:
+        harmonic_distribution = core.f32(harmonic_distribution)
+        n_harmonics = harmonic_distribution.shape[-1]
+    elif harmonic_shifts is not None:
+        n_harmonics = harmonic_shifts.shape[-1]
+    else:
+        n_harmonics = 1
+
+    harmonic_frequencies = core.get_harmonic_frequencies(frequencies,
+                                                         n_harmonics)
+    if harmonic_shifts is not None:
+        harmonic_frequencies = harmonic_frequencies * (1.0 + harmonic_shifts)
+
+    if harmonic_distribution is not None:
+        harmonic_amplitudes = amplitudes * harmonic_distribution
+    else:
+        harmonic_amplitudes = amplitudes
+
+    n_frames = frequencies.shape[1] - (1 if lookahead else 0)
+    framewise_ok = (method == 'framewise'
+                    and n_samples % n_frames == 0
+                    and n_samples // n_frames >= 1
+                    and amp_resample_method == 'window')
+    if lookahead and not framewise_ok:
+        raise ValueError("lookahead streaming requires the framewise path "
+                         "(n_samples divisible by n_frames - 1, window amps)")
+    if framewise_ok:
+        up = n_samples // n_frames
+        controls = framewise_osc_controls(harmonic_frequencies,
+                                          harmonic_amplitudes,
+                                          up, sample_rate,
+                                          initial_phase=initial_phase,
+                                          lookahead=lookahead)
+        audio = render_framewise(controls, up, sample_rate,
+                                 sum_sinusoids=sum_sinusoids)
+        if return_final_phase:
+            return audio, framewise_final_phase(controls, up, sample_rate)
+        return audio
+
+    # Fallback: reference-exact envelope pipeline.
+    frequency_envelopes = core.resample(harmonic_frequencies, n_samples)
+    amplitude_envelopes = core.resample(harmonic_amplitudes, n_samples,
+                                        method=amp_resample_method)
+    audio = oscillator_bank_envelopes(frequency_envelopes,
+                                      amplitude_envelopes,
+                                      sample_rate=sample_rate,
+                                      sum_sinusoids=sum_sinusoids,
+                                      use_angular_cumsum=use_angular_cumsum)
+    if return_final_phase:
+        omegas = frequency_envelopes * (_2PI / float(sample_rate))
+        final = jnp.mod(jnp.sum(omegas, axis=1, keepdims=True), _2PI)
+        return audio, final
+    return audio

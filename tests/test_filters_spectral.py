@@ -1,0 +1,122 @@
+"""Golden tests for FFT filtering ops and spectral ops against TF."""
+
+import numpy as np
+import pytest
+import tensorflow as tf
+
+import jax.numpy as jnp
+
+from ddsp_piano_tpu.ops import core, filters, spectral
+
+RNG = np.random.RandomState(1)
+
+
+def test_overlap_and_add_matches_tf():
+    for n_frames, frame_len, step in [(5, 8, 4), (3, 10, 10), (7, 12, 5),
+                                      (4, 256, 96)]:
+        frames = RNG.randn(2, n_frames, frame_len).astype(np.float32)
+        want = tf.signal.overlap_and_add(frames, step).numpy()
+        got = np.asarray(filters.overlap_and_add(jnp.asarray(frames), step))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fft_convolve_single_ir_matches_numpy():
+    audio = RNG.randn(2, 400).astype(np.float32)
+    ir = RNG.randn(2, 31).astype(np.float32)
+    got = np.asarray(filters.fft_convolve(audio, ir, padding='same',
+                                          delay_compensation=0))
+    for b in range(2):
+        full = np.convolve(audio[b], ir[b])
+        np.testing.assert_allclose(got[b], full[:400], rtol=1e-3, atol=1e-4)
+
+
+def test_fft_convolve_delay_compensation():
+    audio = RNG.randn(1, 300).astype(np.float32)
+    ir = np.zeros((1, 21), np.float32)
+    ir[0, 10] = 1.0  # pure delay of 10 samples (center tap of 21)
+    # delay_compensation=-1 -> start = (21-1)//2 - 1 = 9 -> one-sample delay.
+    got = np.asarray(filters.fft_convolve(audio, ir, padding='same',
+                                          delay_compensation=-1))[0]
+    np.testing.assert_allclose(got[1:], audio[0, :-1], rtol=1e-3, atol=1e-4)
+
+
+def test_fft_convolve_time_varying_framewise():
+    """Each audio block is convolved with its own IR then overlap-added."""
+    n_frames, frame_size, ir_size = 4, 50, 11
+    audio = RNG.randn(1, n_frames * frame_size).astype(np.float32)
+    irs = RNG.randn(1, n_frames, ir_size).astype(np.float32)
+    got = np.asarray(filters.fft_convolve(audio, irs, padding='same',
+                                          delay_compensation=0))[0]
+    want = np.zeros(n_frames * frame_size + ir_size - 1)
+    for k in range(n_frames):
+        block = audio[0, k * frame_size:(k + 1) * frame_size]
+        want[k * frame_size:k * frame_size + frame_size + ir_size - 1] += (
+            np.convolve(block, irs[0, k]))
+    np.testing.assert_allclose(got, want[:n_frames * frame_size],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_apply_window_zero_phase_roundtrip():
+    """Full-size window on an even-symmetric IR keeps symmetry and energy."""
+    mags = np.abs(RNG.randn(2, 33)).astype(np.float32)
+    ir = np.asarray(filters.frequency_impulse_response(mags))
+    assert ir.shape == (2, 64)
+    # The causal-form IR of a zero-phase filter should be (near) symmetric
+    # around its center.
+    mid = 32
+    np.testing.assert_allclose(ir[:, mid - 10:mid], ir[:, mid + 10:mid:-1],
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_frequency_filter_bandpass_behavior():
+    """Low-pass magnitudes should kill a high-frequency tone."""
+    sr = 16000
+    t = np.arange(4000) / sr
+    lo = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    hi = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+    audio = (lo + hi)[np.newaxis, :]
+    n_bands = 65
+    mags = np.zeros((1, 10, n_bands), np.float32)
+    mags[:, :, :12] = 1.0  # pass below ~1.4 kHz
+    out = np.asarray(filters.frequency_filter(audio, mags, window_size=257))
+    spec_in = np.abs(np.fft.rfft(audio[0]))
+    spec_out = np.abs(np.fft.rfft(out[0]))
+    f = np.fft.rfftfreq(4000, 1 / sr)
+    band = lambda s, f0: s[(f > f0 - 50) & (f < f0 + 50)].max()
+    assert band(spec_out, 200) > 0.3 * band(spec_in, 200)
+    assert band(spec_out, 6000) < 0.01 * band(spec_in, 6000)
+
+
+@pytest.mark.parametrize("size", [64, 256, 2048])
+def test_stft_matches_tf(size):
+    audio = RNG.randn(2, 16000).astype(np.float32)
+    hop = int(size * 0.25)
+    want = tf.signal.stft(audio, frame_length=size, frame_step=hop,
+                          fft_length=size, pad_end=True).numpy()
+    got = np.asarray(spectral.stft(audio, frame_size=size, overlap=0.75,
+                                   pad_end=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.abs(got), np.abs(want), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_multi_scale_spectral_loss_properties():
+    a = RNG.randn(2, 8000).astype(np.float32)
+    b = RNG.randn(2, 8000).astype(np.float32)
+    zero = float(spectral.multi_scale_spectral_loss(a, a, logmag_weight=1.0))
+    nonzero = float(spectral.multi_scale_spectral_loss(a, b,
+                                                       logmag_weight=1.0))
+    assert zero < 1e-5
+    assert nonzero > 0.1
+
+
+def test_loudness_shape_and_monotonicity():
+    sr, fr = 16000, 250
+    quiet = 0.01 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    loud = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    l_quiet = np.asarray(spectral.compute_loudness(
+        quiet.astype(np.float32), sr, fr))
+    l_loud = np.asarray(spectral.compute_loudness(
+        loud.astype(np.float32), sr, fr))
+    assert l_quiet.shape == l_loud.shape
+    assert l_loud.mean() > l_quiet.mean() + 20  # ~34 dB apart
