@@ -191,7 +191,9 @@ class Embedding(Module):
         ids = jnp.asarray(ids)
         if jnp.issubdtype(ids.dtype, jnp.floating):
             ids = ids.astype(jnp.int32)
-        return jnp.take(params['embeddings'], ids, axis=0)
+        # Clip out-of-range ids (JAX's default OOB fill would inject NaNs
+        # into the whole render for a bad instrument id).
+        return jnp.take(params['embeddings'], ids, axis=0, mode='clip')
 
 
 class GRU(Module):

@@ -1,0 +1,285 @@
+"""Checkpointing: native (orbax) save/restore + TF-checkpoint import.
+
+The reference ships TF object-based checkpoints (Keras object paths like
+``model/monophonic_network/model/layer_with_weights-1/cell/kernel``; see
+model_weights/dafx22/ckpt-0). ``import_tf_weights`` walks our module tree,
+generates the corresponding TF variable names structurally (Sequential
+containers count only weighted layers, GRUs nest under ``cell``, Keras
+Embeddings under ``embeddings``), and loads the released weights into our
+parameter pytree. TensorFlow is used host-side purely as a checkpoint
+reader; it never touches the jit path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddsp_piano_tpu import nn
+from ddsp_piano_tpu.models import sub_modules as sm
+
+
+# -----------------------------------------------------------------------------
+# Native checkpoints (orbax)
+# -----------------------------------------------------------------------------
+
+
+def save_checkpoint(directory: str, state, step: int):
+    """Save a train-state pytree under directory/ckpt-<step>."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f'ckpt-{step}')
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    # Track the latest step like TF's 'checkpoint' index file.
+    with open(os.path.join(directory, 'checkpoint'), 'w') as f:
+        f.write(str(step))
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    marker = os.path.join(directory, 'checkpoint')
+    if os.path.exists(marker):
+        with open(marker) as f:
+            step = f.read().strip()
+        path = os.path.join(directory, f'ckpt-{step}')
+        if os.path.exists(path):
+            return path
+    # Fall back to scanning.
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith('ckpt-') and name[5:].isdigit():
+            steps.append(int(name[5:]))
+    if not steps:
+        return None
+    return os.path.join(directory, f'ckpt-{max(steps)}')
+
+
+def restore_checkpoint(path_or_dir: str, target):
+    """Restore a pytree saved by save_checkpoint (accepts dir or path)."""
+    import orbax.checkpoint as ocp
+    path = path_or_dir
+    if not os.path.basename(path).startswith('ckpt-'):
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(
+                f"No checkpoint found under {path_or_dir!r}")
+        path = found
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path, item=target)
+
+
+# -----------------------------------------------------------------------------
+# TF checkpoint import
+# -----------------------------------------------------------------------------
+
+
+def read_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Read all model variables of a TF object checkpoint into numpy."""
+    import tensorflow as tf  # host-side reader only
+
+    if os.path.isdir(ckpt_path):
+        resolved = tf.train.latest_checkpoint(ckpt_path)
+        if resolved is None:
+            raise FileNotFoundError(f"No TF checkpoint in {ckpt_path!r}")
+        ckpt_path = resolved
+    reader = tf.train.load_checkpoint(ckpt_path)
+    out = {}
+    suffix = '/.ATTRIBUTES/VARIABLE_VALUE'
+    for name in reader.get_variable_to_shape_map():
+        if not name.endswith(suffix):
+            continue
+        clean = name[:-len(suffix)]
+        if not clean.startswith('model/'):
+            continue
+        out[clean[len('model/'):]] = reader.get_tensor(name)
+    return out
+
+
+def _seq_paths(seq: nn.Sequential, params: List) -> List[Tuple[Tuple, str]]:
+    """Paths inside a Keras Sequential: only weighted layers are counted."""
+    out = []
+    weighted = 0
+    for i, (layer, p) in enumerate(zip(seq.layers, params)):
+        sub = _module_paths(layer, p)
+        if not sub:
+            continue
+        for rel, tf_rel in sub:
+            out.append(((i,) + rel, f'layer_with_weights-{weighted}/{tf_rel}'))
+        weighted += 1
+    return out
+
+
+def _module_paths(module, params) -> List[Tuple[Tuple, str]]:
+    """(relative param path, relative TF name) pairs for one module."""
+    if isinstance(module, nn.GRU):
+        return [(('kernel',), 'cell/kernel'),
+                (('recurrent_kernel',), 'cell/recurrent_kernel'),
+                (('bias',), 'cell/bias')]
+    if isinstance(module, nn.Dense):
+        out = [(('kernel',), 'kernel')]
+        if module.use_bias:
+            out.append((('bias',), 'bias'))
+        return out
+    if isinstance(module, nn.LayerNormalization):
+        return [(('gamma',), 'gamma'), (('beta',), 'beta')]
+    if isinstance(module, nn.Normalize):
+        return [(('scale',), 'scale'), (('shift',), 'shift')]
+    if isinstance(module, nn.Embedding):
+        return [(('embeddings',), 'embeddings')]
+    if isinstance(module, nn.Sequential):  # includes Fc / FcStack
+        return _seq_paths(module, params)
+    if isinstance(module, nn.Activation):
+        return []
+    raise NotImplementedError(
+        f"No TF path rule for module {type(module).__name__}")
+
+
+def _submodule_tf_paths(slot: str, module, params
+                        ) -> List[Tuple[Tuple, str]]:
+    """Full (param path within slot, TF name within model/<slot>) pairs."""
+    pairs: List[Tuple[Tuple, str]] = []
+
+    def add(prefix_path, tf_prefix, sub, sub_params):
+        for rel, tf_rel in _module_paths(sub, sub_params):
+            pairs.append((prefix_path + rel,
+                          f'{tf_prefix}/{tf_rel}' if tf_prefix else tf_rel))
+
+    if isinstance(module, (sm.ContextNetwork, sm.SimpleContextNet)):
+        add(('model',), 'model', module.model, params['model'])
+        add(('dense_out',), 'dense_out', module.dense_out,
+            params['dense_out'])
+    elif isinstance(module, sm.MonophonicDeepNetwork):
+        for i, stack in enumerate(module.input_stacks):
+            add(('input_stacks', i), f'input_stacks/{i}', stack,
+                params['input_stacks'][i])
+        # The reference wraps the GRU in nn.Rnn, a container layer holding
+        # the Keras GRU under its 'rnn' attribute (v2 ckpt:
+        # model/layer_with_weights-0/rnn/cell/kernel).
+        add(('model',), 'model/layer_with_weights-0/rnn', module.model,
+            params['model'])
+        add(('out_stack',), 'out_stack', module.out_stack,
+            params['out_stack'])
+        add(('dense_out',), 'dense_out', module.dense_out,
+            params['dense_out'])
+    elif isinstance(module, sm.MonophonicNetwork):
+        add(('model',), 'model', module.model, params['model'])
+        add(('dense_out',), 'dense_out', module.dense_out,
+            params['dense_out'])
+    elif isinstance(module, sm.FiLMContextNetwork):
+        for attr in ('conditioning_head', 'pedal_head', 'piano_id_head',
+                     'main_model', 'film_input_reshape', 'output_layer'):
+            add((attr,), attr, getattr(module, attr), params[attr])
+    elif isinstance(module, sm.OneHotZEncoder):
+        for attr in ('embedding', 'inharm_embedding', 'detune_embedding'):
+            add((attr,), attr, getattr(module, attr), params[attr])
+    elif isinstance(module, sm.BackgroundNoiseFilter):
+        add(('embedding',), 'embedding', module.embedding,
+            params['embedding'])
+    elif isinstance(module, sm.MultiInstrumentReverb):
+        add(('reverb_dict',), 'reverb_dict/layer_with_weights-0',
+            module.reverb_dict, params['reverb_dict'])
+    elif isinstance(module, sm.MultiInstrumentFeedbackDelayReverb):
+        for attr in module._EMBEDDINGS:
+            add((attr,), attr, getattr(module, attr), params[attr])
+    elif isinstance(module, (sm.ParametricTuning, sm.InharmonicityNetwork)) \
+            and not isinstance(module, sm.JointParametricInharmTuning):
+        for leaf in ('model_specific_weight', 'slopes', 'offsets',
+                     'slopes_modifier', 'offsets_modifier'):
+            pairs.append(((leaf,), leaf))
+    elif isinstance(module, sm.JointParametricInharmTuning):
+        for w in module._WEIGHT_NAMES:
+            add((w,), w, module.embeddings[w], params[w])
+    elif isinstance(module, (sm.Detuner,)):
+        add(('layer',), 'layer', module.layer, params['layer'])
+    elif isinstance(module, sm.DeepDetuner):
+        add(('hidden_layers',), 'hidden_layers', module.hidden_layers,
+            params['hidden_layers'])
+        add(('out_layer',), 'out_layer', module.out_layer,
+            params['out_layer'])
+    elif isinstance(module, sm.DeepInharmonicity):
+        for attr in ('hidden_layers', 'scale_layer', 'out_layer'):
+            add((attr,), attr, getattr(module, attr), params[attr])
+    elif isinstance(module, (sm.DictDetuner, sm.DictInharmonicityModel)):
+        add(('layer',), 'layer', module.layer, params['layer'])
+    elif isinstance(module, sm.SurrogateModule):
+        add(('amp_model',), 'amp_model', module.amp_model,
+            params['amp_model'])
+    elif isinstance(module, sm.NoteRelease):
+        pairs.append((('cell', 'release_duration'),
+                      'layer/cell/release_duration'))
+    elif isinstance(module, sm.PartialMasking):
+        pass
+    else:
+        raise NotImplementedError(
+            f"No TF mapping for sub-module {type(module).__name__} "
+            f"in slot {slot!r}")
+    return pairs
+
+
+def tf_name_map(model) -> Dict[str, Tuple[str, Tuple]]:
+    """TF variable name -> (slot, param path within slot) for a PianoModel."""
+    params = model.init(jax.random.PRNGKey(0))
+    mapping = {}
+    for slot, module in model._module_slots():
+        for path, tf_rel in _submodule_tf_paths(slot, module, params[slot]):
+            mapping[f'{slot}/{tf_rel}'] = (slot, path)
+    return mapping
+
+
+def _set_path(tree, slot, path, value):
+    node = tree[slot]
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = value
+
+
+def _get_path(tree, slot, path):
+    node = tree[slot]
+    for p in path:
+        node = node[p]
+    return node
+
+
+def import_tf_weights(model, params, ckpt_path: str,
+                      strict: bool = True):
+    """Load a released TF checkpoint into a PianoModel parameter pytree.
+
+    Returns (new_params, report) where report lists matched/missing/unused
+    variables. With strict=True a shape mismatch or missing model variable
+    raises.
+    """
+    tf_vars = read_tf_checkpoint(ckpt_path)
+    mapping = tf_name_map(model)
+    new_params = jax.tree.map(lambda x: x, params)  # deep copy structure
+
+    matched, missing, mismatched = [], [], []
+    for tf_name, (slot, path) in mapping.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        value = np.asarray(tf_vars[tf_name])
+        current = np.asarray(_get_path(params, slot, path))
+        if value.shape != current.shape:
+            mismatched.append((tf_name, value.shape, current.shape))
+            continue
+        _set_path(new_params, slot, path,
+                  jnp.asarray(value, jnp.float32))
+        matched.append(tf_name)
+    unused = sorted(set(tf_vars) - set(matched))
+
+    report = {'matched': sorted(matched), 'missing': sorted(missing),
+              'mismatched': mismatched, 'unused': unused}
+    if strict and (missing or mismatched):
+        raise ValueError(
+            f"TF checkpoint import incomplete: missing={missing} "
+            f"mismatched={mismatched}")
+    return new_params, report

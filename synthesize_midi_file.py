@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Synthesize a MIDI file to audio with a trained DDSP-Piano TPU model.
+
+Argument-compatible with the reference CLI
+(/root/reference/synthesize_midi_file.py): load MIDI as conditioning, build
+the model from a config, restore a checkpoint (native orbax checkpoints or
+released TF checkpoints, auto-detected), run one jit-compiled forward pass
+on the accelerator and write the wav (plus an optional dry stem).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+logging.basicConfig(level=logging.INFO, format='%(message)s')
+
+
+def process_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('-c', '--config', type=str,
+                        default='maestro_v2',
+                        help="Model config name (e.g. maestro_v2, dafx22) "
+                             "or a .gin config path. (default: %(default)s)")
+    parser.add_argument('--ckpt', type=str, default=None,
+                        help="Model checkpoint to load (orbax dir or TF "
+                             "checkpoint dir/prefix).")
+    parser.add_argument('--piano_type', type=int, default=9,
+                        help="Piano model (from 0 to 9). "
+                             "(default: %(default)s)")
+    parser.add_argument('-wu', '--warm_up', type=float, default=0.5,
+                        help="Warm-up duration (in s, default: %(default)s)")
+    parser.add_argument('-d', '--duration', type=float, default=None,
+                        help="Maximum duration of synthesized audio. "
+                             "(default: %(default)s)")
+    parser.add_argument('-n', '--normalize', type=float, default=None,
+                        help="Normalize audio to this amount of dBFS. "
+                             "(default: %(default)s)")
+    parser.add_argument('-u', '--unreverbed', action='store_true',
+                        help="Also generate dry piano audio, without reverb.")
+    parser.add_argument('--seed', type=int, default=0,
+                        help="RNG seed for the noise synthesizer.")
+    parser.add_argument('midi_file', type=str,
+                        help="Piano MIDI file to synthesize.")
+    parser.add_argument('out_file', type=str,
+                        help="Save audio as wav file.")
+    return parser.parse_args(argv)
+
+
+def is_tf_checkpoint(path: str) -> bool:
+    """A TF object checkpoint has .index files (dir or prefix form)."""
+    if path is None:
+        return False
+    if os.path.isfile(path + '.index'):
+        return True
+    if os.path.isdir(path):
+        return any(name.endswith('.index') for name in os.listdir(path))
+    return False
+
+
+def restore_params(model, params, ckpt):
+    from ddsp_piano_tpu.training import checkpoints
+    if ckpt is None:
+        logging.warning("No --ckpt given: synthesizing with random weights.")
+        return params
+    if is_tf_checkpoint(ckpt):
+        logging.info("Restoring released TF checkpoint from %s", ckpt)
+        params, report = checkpoints.import_tf_weights(model, params, ckpt)
+        logging.info("Imported %d variables.", len(report['matched']))
+        return params
+    logging.info("Restoring native checkpoint from %s", ckpt)
+    state = checkpoints.restore_checkpoint(ckpt, {'params': params})
+    return state['params']
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.data import audio_io
+    from ddsp_piano_tpu.data.io import load_midi_as_conditioning
+
+    logging.info("Loading midi file...")
+    inputs = load_midi_as_conditioning(args.midi_file,
+                                       duration=args.duration,
+                                       warm_up_duration=args.warm_up)
+    inputs['piano_model'] = np.asarray([[args.piano_type]], np.int32)
+    logging.info("Midi file loaded (with duration %s s). "
+                 "Now building the piano synthesizer...",
+                 inputs['duration'] - args.warm_up)
+
+    model = get_model(args.config, inference=True,
+                      duration=inputs['duration'])
+    params = model.init(jax.random.PRNGKey(0))
+    params = restore_params(model, params, args.ckpt)
+
+    logging.info("Model built. Now synthesizing audio "
+                 "(first run compiles, this can take ~1 min)...")
+    features = {k: jnp.asarray(v) for k, v in inputs.items()
+                if k != 'duration'}
+
+    @jax.jit
+    def forward(params, features):
+        return model(params, features, rng=jax.random.PRNGKey(args.seed))
+
+    outs = forward(params, features)
+    sample_rate = model.sample_rate
+    crop = int(args.warm_up * sample_rate)
+
+    audio = np.asarray(outs['audio_synth'])[0, crop:]
+    audio_io.write_wav(args.out_file, audio, sample_rate)
+    if args.normalize is not None:
+        audio_io.normalize_audio(args.out_file, args.normalize)
+
+    if args.unreverbed:
+        dry = np.asarray(outs['add']['signal'])[0, crop:]
+        dry_file = args.out_file + '_unreverbed.wav'
+        audio_io.write_wav(dry_file, dry, sample_rate)
+        if args.normalize is not None:
+            audio_io.normalize_audio(dry_file, args.normalize)
+
+    logging.info("Audio saved at %s.", args.out_file)
+
+
+if __name__ == '__main__':
+    main(process_args())

@@ -1,0 +1,166 @@
+"""End-to-end forward/backward tests for the assembled piano models.
+
+All forwards are jit-compiled: eager op-by-op dispatch of the full model is
+prohibitively slow on the CPU test mesh (~20 s/forward).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu.configs import get_model
+from ddsp_piano_tpu.data.pipeline import get_dummy_data
+
+DUR = 0.5
+
+
+def _jnp_features(feats):
+    return {k: jnp.asarray(v) for k, v in feats.items()}
+
+
+@pytest.fixture(scope='module')
+def dafx22_setup():
+    model = get_model('dafx22', duration=DUR)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = _jnp_features(get_dummy_data(batch_size=2, duration=DUR,
+                                         sample_rate=16000))
+
+    @jax.jit
+    def forward_train(params, feats, rng):
+        return model(params, feats, training=True, rng=rng)
+
+    return model, params, feats, forward_train
+
+
+class TestDafx22:
+    def test_forward_shapes_and_losses(self, dafx22_setup):
+        model, params, feats, fwd = dafx22_setup
+        outs = fwd(params, feats, jax.random.PRNGKey(1))
+        n_frames, n_samples = int(250 * DUR), int(16000 * DUR)
+        assert outs['audio_synth'].shape == (2, n_samples)
+        for k, v in outs['losses'].items():
+            assert np.isfinite(float(v)), k
+        # Per-voice controls exposed for the decompose CLI.
+        assert outs['amplitudes_0'].shape == (2, n_frames, 1)
+        # Phase-1 build: use_detune=False, single substring f0.
+        assert outs['f0_hz_15'].shape == (2, n_frames, 1)
+        assert outs['add']['signal'].shape == (2, n_samples)
+        assert outs['reverb_ir'].shape == (2, 24000)
+
+    def test_grad_finite(self, dafx22_setup):
+        model, params, feats, _ = dafx22_setup
+
+        @jax.jit
+        def loss_and_grad(p):
+            def loss_fn(p):
+                outs = model(p, feats, training=True,
+                             rng=jax.random.PRNGKey(3))
+                return outs['losses']['total_loss']
+            return jax.value_and_grad(loss_fn)(p)
+
+        loss, grads = loss_and_grad(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+    def test_trainable_mask_phases(self, dafx22_setup):
+        model, params, _, _ = dafx22_setup
+        mask1 = model.trainable_mask(params, phase=1)
+        mask2 = model.trainable_mask(params, phase=2)
+        # Phase 1: mono net trains, inharm modifiers don't.
+        assert jax.tree.leaves(mask1['monophonic_network'])[0]
+        assert not any(jax.tree.leaves(
+            mask1['inharm_model']['slopes_modifier']))
+        # Phase 2: inverted.
+        assert not jax.tree.leaves(mask2['monophonic_network'])[0]
+        assert all(jax.tree.leaves(mask2['inharm_model']['slopes_modifier']))
+        # slopes/offsets never train; release_duration never trains.
+        for m in (mask1, mask2):
+            assert not any(jax.tree.leaves(m['inharm_model']['slopes']))
+            assert not any(jax.tree.leaves(m['note_release']))
+        # z-encoder phase split.
+        assert all(jax.tree.leaves(mask1['z_encoder']['embedding']))
+        assert not any(jax.tree.leaves(mask1['z_encoder']['inharm_embedding']))
+        assert all(jax.tree.leaves(mask2['z_encoder']['inharm_embedding']))
+
+    def test_length_polymorphism(self, dafx22_setup):
+        """Same params work for a different duration (weights are
+        length-independent; only OneHotZEncoder reads the duration)."""
+        model, params, _, _ = dafx22_setup
+        model2 = get_model('dafx22', duration=1.0)
+        feats = _jnp_features(get_dummy_data(batch_size=1, duration=1.0,
+                                             sample_rate=16000))
+        outs = jax.jit(lambda p, f: model2(p, f))(params, feats)
+        assert outs['audio_synth'].shape == (1, 16000)
+
+
+class TestVectorizedVsSequentialDag:
+    def test_parity_small_model(self):
+        """Batched-voice render == sequential per-voice DAG (4 voices)."""
+        model = get_model('dafx22', duration=DUR, n_synths=4,
+                          inference=True)
+        params = model.init(jax.random.PRNGKey(0))
+        feats = _jnp_features(get_dummy_data(batch_size=1, duration=DUR,
+                                             sample_rate=16000, n_synths=4))
+        rng = jax.random.PRNGKey(2)
+        fast = jax.jit(lambda p, f: model(p, f, rng=rng))(params, feats)
+        slow = jax.jit(
+            lambda p, f: model(p, f, rng=rng, use_sequential_dag=True))(
+                params, feats)
+        np.testing.assert_allclose(np.asarray(fast['f0_hz_0']),
+                                   np.asarray(slow['f0_hz_0']), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fast['amplitudes_3']),
+                                   np.asarray(slow['amplitudes_3']),
+                                   atol=1e-5)
+        # Additive path ('add' minus noise) must agree closely; compare
+        # whole mix statistics since noise draws differ per path.
+        a = np.asarray(fast['add']['signal'])
+        b = np.asarray(slow['add']['signal'])
+        assert abs(a.std() - b.std()) < 0.15 * max(a.std(), 1e-6)
+
+
+class TestMaestroV2:
+    @pytest.fixture(scope='class')
+    def setup(self):
+        model = get_model('maestro_v2', duration=DUR)
+        params = model.init(jax.random.PRNGKey(0))
+        feats = _jnp_features(get_dummy_data(batch_size=1, duration=DUR,
+                                             sample_rate=24000))
+
+        @jax.jit
+        def forward_train(params, feats, rng):
+            return model(params, feats, training=True, rng=rng)
+
+        return model, params, feats, forward_train
+
+    def test_forward(self, setup):
+        model, params, feats, fwd = setup
+        outs = fwd(params, feats, jax.random.PRNGKey(1))
+        n_frames, n_samples = int(250 * DUR), int(24000 * DUR)
+        assert outs['audio_synth'].shape == (1, n_samples)
+        assert np.isfinite(float(outs['losses']['total_loss']))
+        assert outs['reverb_ir'].shape == (1, 48000)
+        assert outs['harmonic_distribution_0'].shape == (1, n_frames, 128)
+
+    def test_pretrained_tuning_frozen_and_loaded(self, setup):
+        model, params, _, _ = setup
+        from ddsp_piano_tpu.configs.maestro_v2 import V2_TUNING_WEIGHTS
+        np.testing.assert_allclose(
+            np.asarray(params['inharm_model']['K']['embeddings']),
+            np.asarray(V2_TUNING_WEIGHTS['K']), rtol=1e-6)
+        mask = model.trainable_mask(params, phase=2)
+        assert not any(jax.tree.leaves(mask['inharm_model']))
+
+    def test_tuning_outputs_sensible(self, setup):
+        """A4 (midi 69) should map to ~440 Hz with small stretch."""
+        model, params, _, _ = setup
+        inharm = model.inharm_model
+        pitch = jnp.full((1, 10, 1), 69.0)
+        piano = jnp.zeros((1, 1), jnp.int32)
+        f0, b_coef = inharm(params['inharm_model'], pitch, piano)
+        assert 430.0 < float(f0[0, 0, 0]) < 450.0
+        assert 0.0 < float(b_coef[0, 0, 0]) < 1e-2
