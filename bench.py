@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: synthesis realtime factor per chip (the headline metric).
+
+Protocol: flagship maestro-v2 inference model, 16-voice polyphony at
+24 kHz, batch 1, realistic chordal conditioning; steady-state wall time per
+jitted forward (post-compile, block_until_ready). Prints ONE JSON line:
+{"metric": "realtime_factor", "value": N, "unit": "audio_s_per_wall_s",
+ "vs_baseline": N / 200}  -- 200x is the BASELINE.md north-star target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_inputs(duration, n_synths=16, frame_rate=250):
+    """Chordal conditioning exercising all voices."""
+    rng = np.random.RandomState(0)
+    n_frames = int(duration * frame_rate)
+    cond = np.zeros((1, n_frames, n_synths, 2), np.float32)
+    # 8 sustained chord voices + 8 voices with repeated notes.
+    for v in range(n_synths):
+        pitch = 36.0 + 5 * v
+        if v < 8:
+            cond[:, 10:, v, 0] = pitch
+            cond[:, 10:18, v, 1] = 0.7
+        else:
+            for start in range(10, n_frames - 50, 125):
+                cond[:, start:start + 100, v, 0] = pitch
+                cond[:, start:start + 8, v, 1] = 0.9
+    pedal = np.zeros((1, n_frames, 4), np.float32)
+    piano_model = np.asarray([[5]], np.int32)
+    return {'conditioning': cond, 'pedal': pedal,
+            'piano_model': piano_model}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_piano_tpu.configs import get_model
+
+    duration = 4.0
+    sample_rate = 24000
+    model = get_model('maestro_v2', duration=duration, inference=True)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = {k: jnp.asarray(v) for k, v in build_inputs(duration).items()}
+
+    @jax.jit
+    def forward(params, feats):
+        return model(params, feats, rng=jax.random.PRNGKey(0))['audio_synth']
+
+    # Compile + warm up.
+    audio = forward(params, feats)
+    audio.block_until_ready()
+    assert audio.shape == (1, int(duration * sample_rate))
+    assert bool(jnp.isfinite(audio).all())
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        audio = forward(params, feats)
+    audio.block_until_ready()
+    wall = (time.perf_counter() - t0) / n_iters
+
+    value = duration / wall
+    print(json.dumps({
+        'metric': 'realtime_factor',
+        'value': round(value, 2),
+        'unit': 'audio_s_per_wall_s',
+        'vs_baseline': round(value / 200.0, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

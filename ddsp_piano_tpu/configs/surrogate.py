@@ -1,0 +1,94 @@
+"""Surrogate-synthesis configuration (frequency-optimizable model).
+
+Mirrors /root/reference/ddsp_piano/configs/surrogate.gin: SurrogateAdditive
+(per-partial exponential decay envelopes) + SurrogateModule + DeepDetuner +
+InharmonicityLoss; the mono network interleaves a Normalize between the
+input Dense and the GRU, and the Parallelizer carries decays/decay_time as
+extra mono keys.
+"""
+
+from __future__ import annotations
+
+from ddsp_piano_tpu import nn, processors
+from ddsp_piano_tpu.configs.registry import register
+from ddsp_piano_tpu.models import (PianoModel, Parallelizer,
+                                   VectorizedPolyphonicProcessorGroup)
+from ddsp_piano_tpu.models import losses as losses_lib
+from ddsp_piano_tpu.models import sub_modules as sm
+from ddsp_piano_tpu.ops import core
+
+
+@register('surrogate')
+def build(inference: bool = False,
+          duration: float = 3.0,
+          sample_rate: int = 16000,
+          frame_rate: int = 250,
+          n_instruments: int = 1,
+          n_synths: int = 16,
+          z_dim: int = 16,
+          n_harmonics: int = 96,
+          n_noise_bands: int = 64,
+          first_phase: bool = True) -> PianoModel:
+    context_in = n_synths * 2 + 4 + z_dim
+    context_network = sm.ContextNetwork(
+        layers=[
+            nn.Dense(32, context_in, activation='leaky_relu'),
+            nn.GRU(64, 32),
+            nn.Normalize(64),
+        ],
+        out_features=64,
+    )
+    monophonic_network = sm.MonophonicNetwork(
+        layers=[
+            nn.Dense(128, 35, activation='leaky_relu'),
+            nn.Normalize(128),
+            nn.GRU(128, 128),
+            nn.Dense(128, 128, activation='leaky_relu'),
+        ],
+        out_features=128,
+        output_splits=(('amplitudes', 1),
+                       ('harmonic_distribution', n_harmonics),
+                       ('magnitudes', n_noise_bands)),
+    )
+    processor_group = VectorizedPolyphonicProcessorGroup(
+        additive=processors.SurrogateAdditive(
+            name='additive', frame_rate=frame_rate, sample_rate=sample_rate,
+            inference=inference, scale_fn=core.exp_tanh,
+            normalize_harm_distribution=False),
+        noise=processors.DynamicSizeFilteredNoise(
+            name='noise', frame_rate=frame_rate, sample_rate=sample_rate,
+            scale_fn=core.exp_tanh),
+        reverb=processors.Reverb(trainable=False),
+        additive_controls=('amplitudes', 'decays', 'decay_time',
+                           'harmonic_distribution', 'inharm_coef', 'f0_hz'),
+        reverb_controls=('reverb_ir',),
+        n_synths=n_synths,
+    )
+    return PianoModel(
+        z_encoder=sm.OneHotZEncoder(n_instruments=n_instruments, z_dim=z_dim,
+                                    duration=duration,
+                                    frame_rate=frame_rate),
+        note_release=sm.NoteRelease(frame_rate=frame_rate),
+        context_network=context_network,
+        parallelizer=Parallelizer(
+            n_synths=n_synths,
+            mono_keys=('f0_hz', 'inharm_coef', 'amplitudes', 'decays',
+                       'decay_time', 'harmonic_distribution', 'magnitudes')),
+        monophonic_network=monophonic_network,
+        inharm_model=sm.InharmonicityNetwork(),
+        detuner=sm.DeepDetuner(n_substrings=1, use_detune=not first_phase
+                               if not inference else True),
+        surrogate_module=sm.SurrogateModule(n_harmonics=n_harmonics),
+        reverb_model=sm.MultiInstrumentReverb(
+            n_instruments=n_instruments, reverb_duration=1.0,
+            sample_rate=sample_rate, inference=inference),
+        processor_group=processor_group,
+        losses=[
+            losses_lib.SpectralLoss(loss_type='L1', mag_weight=1.0,
+                                    logmag_weight=1.0,
+                                    sample_rate=sample_rate,
+                                    name='audio_stft_loss'),
+            losses_lib.ReverbRegularizer(name='reverb_regularizer'),
+            losses_lib.InharmonicityLoss(name='inharmonicity_regularizer'),
+        ],
+    )

@@ -8,8 +8,12 @@ batch shapes and the segment/batch/filter machinery feeding the trainer.
 
 from __future__ import annotations
 
+import json
 import math
-from typing import Dict, Iterator, List, Optional, Sequence
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -113,3 +117,272 @@ def batch_segments(segments: Sequence[Dict[str, np.ndarray]],
             else:
                 batch[k] = np.stack([g[k] for g in group])
         yield batch
+
+
+# -----------------------------------------------------------------------------
+# MAESTRO dataset factory (reference data_pipeline.py:43-267)
+# -----------------------------------------------------------------------------
+
+
+def dataset_from_csv(csv_path: str, split: Optional[str] = None,
+                     year: Optional[int] = None):
+    """Read maestro-v3.0.0.csv -> (row dicts, n_rows, sorted piano models)."""
+    import pandas as pd
+    df = pd.read_csv(csv_path)
+    if split:
+        df = df[df.split == split]
+    if year:
+        df = df[df.year == year]
+    piano_models = np.sort(df['year'].unique())
+    rows = df.to_dict('records')
+    return rows, len(rows), piano_models
+
+
+def load_track(row: Dict, dataset_dir: str, piano_models: np.ndarray,
+               sample_rate: int, frame_rate: int,
+               max_polyphony: int) -> Dict[str, np.ndarray]:
+    """Load one MAESTRO row into a track feature dict."""
+    from ddsp_piano_tpu.data import io as data_io
+    audio, conditioning, pedal, polyphony = data_io.load_data(
+        os.path.join(dataset_dir, row['audio_filename']),
+        os.path.join(dataset_dir, row['midi_filename']),
+        max_polyphony=max_polyphony,
+        sample_rate=sample_rate,
+        frame_rate=frame_rate)
+    piano_model = int(np.where(piano_models == row['year'])[0][0])
+    return {'audio': audio,
+            'conditioning': conditioning,
+            'pedal': pedal,
+            'polyphony': polyphony.astype(np.int32),
+            'piano_model': np.asarray([piano_model], np.int32),
+            'filename': row['audio_filename']}
+
+
+def preprocess_into_cache(cache_dir: str, dataset_dir: str,
+                          split: str = 'train', year: Optional[int] = None,
+                          sample_rate: int = 16000, frame_rate: int = 250,
+                          max_polyphony: int = 16, num_workers: int = 8,
+                          verbose: bool = True):
+    """Preprocess MAESTRO tracks into an .npz-per-track cache directory
+    (the reference's .tfrecord equivalent; data_pipeline.py:355-367)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(cache_dir, exist_ok=True)
+    rows, n, piano_models = dataset_from_csv(
+        os.path.join(dataset_dir, 'maestro-v3.0.0.csv'), split=split,
+        year=year)
+    index = []
+
+    def process(i_row):
+        i, row = i_row
+        track = load_track(row, dataset_dir, piano_models, sample_rate,
+                           frame_rate, max_polyphony)
+        name = f'track_{split}_{i:05d}.npz'
+        np.savez_compressed(os.path.join(cache_dir, name), **track)
+        return name
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        for j, name in enumerate(pool.map(process, enumerate(rows))):
+            index.append(name)
+            if verbose and (j + 1) % 10 == 0:
+                print(f'  preprocessed {j + 1}/{n} tracks')
+    meta = {'split': split, 'sample_rate': sample_rate,
+            'frame_rate': frame_rate, 'max_polyphony': max_polyphony,
+            'piano_models': [int(y) for y in piano_models],
+            'tracks': index}
+    with open(os.path.join(cache_dir, f'index_{split}.json'), 'w') as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
+                 max_polyphony, shuffle: bool, infinite: bool,
+                 num_workers: int, seed: int = 0):
+    """Yield track dicts from a cache dir or raw MAESTRO dir, prefetched by
+    a thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache_index = os.path.join(filename, f'index_{split}.json')
+    use_cache = os.path.isfile(cache_index)
+    if use_cache:
+        with open(cache_index) as f:
+            meta = json.load(f)
+        items = list(meta['tracks'])
+        load = lambda name: dict(
+            np.load(os.path.join(filename, name), allow_pickle=False))
+    else:
+        rows, _, piano_models = dataset_from_csv(
+            os.path.join(filename, 'maestro-v3.0.0.csv'), split=split,
+            year=year)
+        items = rows
+        load = lambda row: load_track(row, filename, piano_models,
+                                      sample_rate, frame_rate,
+                                      max_polyphony)
+
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while True:
+        order = list(range(len(items)))
+        if shuffle:
+            rng.shuffle(order)
+        with ThreadPoolExecutor(max(num_workers, 1)) as pool:
+            for track in pool.map(lambda i: load(items[i]), order):
+                if 'filename' not in track:
+                    track = dict(track, filename=f'track_{epoch}')
+                yield track
+        epoch += 1
+        if not infinite:
+            return
+
+
+def get_dataset(filename: str,
+                split: str = 'train',
+                year: Optional[int] = None,
+                duration: float = 3.0,
+                overlap: float = 0.5,
+                batch_size: int = 6,
+                shuffle: bool = True,
+                infinite_generator: bool = True,
+                sample_rate: int = 16000,
+                frame_rate: int = 250,
+                max_polyphony: int = 16,
+                filter_over_polyphony: bool = True,
+                num_parallel_calls: int = 8,
+                shuffle_buffer_segments: int = 256,
+                seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Batched segment iterator over a MAESTRO directory or cache dir.
+
+    Track-level shuffle -> overlapping segmentation -> polyphony filter ->
+    segment-level shuffle buffer -> fixed-shape batches (drop remainder),
+    mirroring the reference pipeline (data_pipeline.py:117-267).
+    """
+    rng = np.random.RandomState(seed + 1)
+    tracks = _iter_tracks(filename, split, year, sample_rate, frame_rate,
+                          max_polyphony, shuffle, infinite_generator,
+                          num_parallel_calls, seed)
+
+    def segments():
+        for track in tracks:
+            yield from segment_track(
+                track, duration, sample_rate, frame_rate, overlap=overlap,
+                max_polyphony=max_polyphony,
+                filter_over_polyphony=filter_over_polyphony)
+
+    def shuffled_segments():
+        if not shuffle:
+            yield from segments()
+            return
+        buf = []
+        for seg in segments():
+            buf.append(seg)
+            if len(buf) >= shuffle_buffer_segments:
+                idx = rng.randint(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+    yield from batch_segments_stream(shuffled_segments(), batch_size)
+
+
+def batch_segments_stream(segments: Iterator[Dict[str, np.ndarray]],
+                          batch_size: int
+                          ) -> Iterator[Dict[str, np.ndarray]]:
+    group = []
+    for seg in segments:
+        group.append(seg)
+        if len(group) == batch_size:
+            batch = {}
+            for k in group[0]:
+                if k == 'filename':
+                    batch[k] = np.asarray([[g[k]] for g in group])
+                else:
+                    batch[k] = np.stack([g[k] for g in group])
+            yield batch
+            group = []
+
+
+def get_training_dataset(filename, **kwargs):
+    return get_dataset(filename, split='train', **kwargs)
+
+
+def get_validation_dataset(filename, **kwargs):
+    return get_dataset(filename, split='validation',
+                       infinite_generator=False, shuffle=False, **kwargs)
+
+
+def get_test_dataset(filename, duration=10.0, overlap=0.0, **kwargs):
+    return get_dataset(filename, split='test', duration=duration,
+                       overlap=overlap, filter_over_polyphony=False,
+                       infinite_generator=False, shuffle=False,
+                       num_parallel_calls=1, **kwargs)
+
+
+def single_track_dataset(midi_filename: str,
+                         audio_filename: str,
+                         batch_size: int = 1,
+                         duration: float = 3.0,
+                         sample_rate: int = 16000,
+                         frame_rate: int = 250,
+                         max_polyphony: int = 16,
+                         infinite_generator: bool = False):
+    """Train-on-one-recording dataset (data_pipeline.py:270-352)."""
+    from ddsp_piano_tpu.data import io as data_io
+    audio, conditioning, pedal, polyphony = data_io.load_data(
+        audio_filename, midi_filename, max_polyphony=max_polyphony,
+        sample_rate=sample_rate, frame_rate=frame_rate)
+    track = {'audio': audio, 'conditioning': conditioning, 'pedal': pedal,
+             'polyphony': polyphony.astype(np.int32),
+             'piano_model': np.zeros(1, np.int32),
+             'filename': os.path.basename(audio_filename)}
+    if len(conditioning) / float(frame_rate) <= duration:
+        from ddsp_piano_tpu.data.io import ensure_sequence_length
+        n_frames = int(duration * frame_rate)
+        track = dict(track,
+                     audio=ensure_sequence_length(
+                         audio, int(duration * sample_rate)),
+                     conditioning=ensure_sequence_length(conditioning,
+                                                         n_frames),
+                     pedal=ensure_sequence_length(pedal, n_frames),
+                     polyphony=ensure_sequence_length(
+                         polyphony.astype(np.int32), n_frames))
+        segments = segment_track(track, duration, sample_rate, frame_rate,
+                                 overlap=0.0, max_polyphony=max_polyphony)
+    else:
+        segments = segment_track(track, duration, sample_rate, frame_rate,
+                                 overlap=0.5, max_polyphony=max_polyphony)
+
+    def generate():
+        while True:
+            yield from batch_segments(segments, batch_size)
+            if not infinite_generator:
+                return
+    return generate()
+
+
+class Prefetcher:
+    """Background-thread batch prefetcher (the tf.data prefetch(4)
+    equivalent; keeps host loading off the device-step critical path)."""
+
+    def __init__(self, iterator: Iterator, depth: int = 4):
+        self._queue: 'queue.Queue' = queue.Queue(maxsize=depth)
+        self._iterator = iterator
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for item in self._iterator:
+                self._queue.put(item)
+        finally:
+            self._queue.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -8,11 +8,20 @@ delay via first-order allpass interpolation; H(e^jw) is evaluated on the
 rfft grid of ``freq_points = 2 * sample_rate`` points and inverse-rFFT'd to
 a late IR, to which a short learned early-reflection FIR is added.
 
-TPU design: the per-bin 8x8 complex solve H = g_out^T D (I - F D)^{-1} g_in
-is evaluated as a *batched real-block* linear solve (complex NxN -> real
-2Nx2N), because TPU XLA lacks complex LU; batching over ~sr+1 bins maps to
-one big batched solve on the MXU. A solve against the single input-gain
-vector replaces the reference's full matrix inverse (8x fewer flops).
+TPU design: the reference inverts a dense 8x8 complex matrix per frequency
+bin ((sr+1) x 8 x 8 inverses). But the FDN's mixing matrix is the fixed
+Householder-style M = -I + 0.5*ones — a rank-1 update of -I — so the system
+matrix per bin,
+
+    A = I - diag(lp) M diag(ap * d) = diag(1 + c1*c2) - 0.5 * c1 c2^T,
+
+(c1 = one-pole low-pass transfer, c2 = allpass * delay transfer) is
+diagonal-plus-rank-1, and Sherman-Morrison gives A^{-1} g_in in closed form
+with only elementwise complex ops and two reductions over the 8 lines. This
+removes the batched LU entirely: the whole late-IR evaluation is a fused
+elementwise program over (sr+1, 8) followed by one irfft — exactly the kind
+of program XLA/TPU executes at HBM speed. A generic real-block batched
+solve is kept as a fallback for future non-Householder mixing matrices.
 """
 
 from __future__ import annotations
@@ -79,7 +88,8 @@ class FDNParams(NamedTuple):
 def fdn_late_ir(params: FDNParams,
                 sample_rate: float,
                 delay_values: Optional[Array] = None,
-                freq_points: Optional[int] = None) -> Array:
+                freq_points: Optional[int] = None,
+                use_householder_closed_form: bool = True) -> Array:
     """Late-reverb IR of length ``freq_points`` (default 2 * sample_rate)."""
     if delay_values is None:
         delay_values = jnp.asarray(DEFAULT_DELAY_VALUES, jnp.float32)
@@ -124,17 +134,28 @@ def fdn_late_ir(params: FDNParams,
     z_ap = jnp.exp(iwk[:, None, None] * da[None, :, :])      # (bins, lines, ap)
     ap = jnp.prod((1.0 + ga[None] * z_ap) / (ga[None] + z_ap), axis=-1)
 
-    # Feedback matrix F = LP_diag @ M @ AP_diag, all (bins, lines, lines).
-    feedback = (lp[:, :, None] * mixing[None, :, :]) * ap[:, None, :]
-    # System matrix (I - F D); D applied as column scaling.
-    eye = jnp.eye(n_lines, dtype=jnp.complex64)[None]
-    system = eye - feedback * delay_diag[:, None, :]
+    g_in = params.input_gain.astype(jnp.complex64)           # (lines,)
+    g_out = params.output_gain.astype(jnp.complex64)
 
-    g_in = params.input_gain.astype(jnp.complex64)
-    b = jnp.broadcast_to(g_in[None, :, None], (n_bins, n_lines, 1))
-    x = _complex_block_solve(system, b)[..., 0]              # (bins, lines)
-    h = jnp.sum(params.output_gain.astype(jnp.complex64)[None, :]
-                * delay_diag * x, axis=-1)                   # (bins,)
+    if use_householder_closed_form:
+        # A = diag(1 + c1*c2) - 0.5 * c1 c2^T  (see module docstring).
+        c1 = lp                                              # (bins, lines)
+        c2 = ap * delay_diag
+        d_prime = 1.0 + c1 * c2
+        g_over = g_in[None, :] / d_prime                     # D'^-1 g
+        u_over = c1 / d_prime                                # D'^-1 c1
+        vg = jnp.sum(c2 * g_over, axis=-1, keepdims=True)    # c2^T D'^-1 g
+        vu = jnp.sum(c2 * u_over, axis=-1, keepdims=True)    # c2^T D'^-1 c1
+        x = g_over + 0.5 * u_over * vg / (1.0 - 0.5 * vu)
+    else:
+        # Generic fallback: batched real-block solve of (I - F D) x = g_in.
+        feedback = (lp[:, :, None] * mixing[None, :, :]) * ap[:, None, :]
+        eye = jnp.eye(n_lines, dtype=jnp.complex64)[None]
+        system = eye - feedback * delay_diag[:, None, :]
+        b = jnp.broadcast_to(g_in[None, :, None], (n_bins, n_lines, 1))
+        x = _complex_block_solve(system, b)[..., 0]          # (bins, lines)
+
+    h = jnp.sum(g_out[None, :] * delay_diag * x, axis=-1)    # (bins,)
     return jnp.fft.irfft(h, n=freq_points).astype(jnp.float32)
 
 

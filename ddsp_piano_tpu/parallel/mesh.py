@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers (data parallelism over ICI).
+
+The reference hides distribution behind tf.distribute strategies
+(train_util.get_strategy / Trainer.distribute_dataset; SURVEY §2.9). The
+TPU-native equivalent: a jax.sharding.Mesh with a 'data' axis, batches
+sharded over it, parameters replicated, and XLA/GSPMD inserting the gradient
+all-reduce over ICI automatically inside the jitted train step.
+
+The model's only large parallel axis beyond batch is the polyphony fold
+(n_synths * batch); because the fold is a reshape of (voice, batch), data
+sharding of the batch axis also shards every folded tensor — no separate
+voice axis is needed for the shipped model sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None,
+             axis_name: str = 'data') -> Mesh:
+    """1-D data-parallel mesh over the first n_devices devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"Requested {n_devices} devices, have "
+                         f"{len(devices)}")
+    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
+    """Place a host batch dict onto the mesh, sharded along axis 0.
+
+    Equivalent to the reference's AutoShardPolicy.DATA dataset distribution
+    (data_pipeline.py:263-265).
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/optimizer state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -78,9 +78,11 @@ class FeedbackDelayNetwork(Processor):
                  sampling_rate: float = 16000.0,
                  delay_lines: int = 8,
                  early_ir_length: int = 200,
+                 delay_trainable: bool = False,
                  name: str = 'DelayNetwork'):
         super().__init__(name=name)
         self.trainable = trainable
+        self.delay_trainable = delay_trainable and trainable
         self.sampling_rate = float(sampling_rate)
         self.delay_lines = delay_lines
         self.early_ir_length = early_ir_length
@@ -96,10 +98,10 @@ class FeedbackDelayNetwork(Processor):
     def init(self, key):
         if not self.trainable:
             return {}
-        ks = jax.random.split(key, 7)
+        ks = jax.random.split(key, 8)
         n = self.delay_lines
         normal = jax.random.normal
-        return {
+        params = {
             'early_ir': 0.1 * normal(ks[0], (self.early_ir_length,)),
             'input_gain': 0.25 + 0.1 * normal(ks[1], (n,)),
             'output_gain': 0.25 + 0.1 * normal(ks[2], (n,)),
@@ -108,6 +110,9 @@ class FeedbackDelayNetwork(Processor):
             'delays_allpass': 400.0 + 60.0 * normal(ks[5], (n, 4)),
             'gain_allpass': 0.25 + 0.1 * normal(ks[6], (n, 4)),
         }
+        if self.delay_trainable:
+            params['delay_values'] = 400.0 + 60.0 * normal(ks[7], (n,))
+        return params
 
     def _params_to_controls(self, params) -> fdn.FDNParams:
         return fdn.FDNParams(
@@ -138,8 +143,10 @@ class FeedbackDelayNetwork(Processor):
             fdn_params = fdn.FDNParams(input_gain, output_gain, gain_allpass,
                                        delays_allpass, time_rev_0_sec,
                                        alpha_tone, early_ir)
+        delay_values = (params['delay_values'] if self.delay_trainable
+                        else self.delay_values)
         ir = fdn.fdn_ir(fdn_params, self.sampling_rate,
-                        delay_values=self.delay_values,
+                        delay_values=delay_values,
                         freq_points=self.freq_points)
         return {'audio': audio_dry, 'ir': ir}
 

@@ -1,0 +1,93 @@
+"""Trainer tests: optimization on dummy data, phase masks, mesh sharding,
+checkpoint lifecycle, NaN guard."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu.configs import get_model
+from ddsp_piano_tpu.data.pipeline import get_dummy_data
+from ddsp_piano_tpu.parallel import mesh as mesh_lib
+from ddsp_piano_tpu.training.trainer import NanLossError, Trainer
+
+
+@pytest.fixture(scope='module')
+def env():
+    model = get_model('dafx22', duration=0.5, n_synths=4)
+    mesh = mesh_lib.get_mesh(4)
+    trainer = Trainer(model, learning_rate=1e-3, first_phase=True, mesh=mesh)
+    batch = get_dummy_data(batch_size=4, duration=0.5, sample_rate=16000,
+                           n_synths=4)
+    return model, trainer, batch
+
+
+@pytest.fixture()
+def setup(env):
+    # Fresh state per test: train_step donates its input state buffers.
+    model, trainer, batch = env
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return model, trainer, state, batch
+
+
+def test_train_step_reduces_loss(setup):
+    model, trainer, state, batch = setup
+    losses_first = None
+    for i in range(8):
+        state, losses = trainer.train_step(state, batch)
+        if losses_first is None:
+            losses_first = losses
+    assert int(state.step) == 8
+    assert losses['total_loss'] < losses_first['total_loss']
+
+
+def test_phase_mask_freezes_params(setup):
+    model, trainer, state, batch = setup
+    before = np.asarray(state.params['inharm_model']['slopes_modifier'])
+    mono_before = np.asarray(
+        state.params['monophonic_network']['dense_out']['kernel'])
+    state2, _ = trainer.train_step(state, batch)
+    # Phase 1: inharm modifiers frozen, mono net updates.
+    np.testing.assert_array_equal(
+        np.asarray(state2.params['inharm_model']['slopes_modifier']), before)
+    assert not np.allclose(
+        np.asarray(state2.params['monophonic_network']['dense_out']['kernel']),
+        mono_before)
+
+
+def test_batch_sharded_over_mesh(setup):
+    model, trainer, state, batch = setup
+    sharded = trainer.distribute_batch(batch)
+    audio = sharded['audio']
+    assert len(audio.devices()) == 4
+    # Axis 0 split across 4 devices.
+    shard_shapes = {s.data.shape for s in audio.addressable_shards}
+    assert shard_shapes == {(1,) + audio.shape[1:]}
+
+
+def test_validation_step(setup):
+    model, trainer, state, batch = setup
+    losses, audio = trainer.validation_step(state, batch)
+    assert np.isfinite(losses['total_loss'])
+    assert audio.shape == (4, 8000)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    model, trainer, state, batch = setup
+    state, _ = trainer.train_step(state, batch)
+    trainer.save(state, str(tmp_path))
+    fresh = trainer.init_state(jax.random.PRNGKey(42))
+    restored = trainer.restore(fresh, str(tmp_path))
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard(setup):
+    model, trainer, state, batch = setup
+    bad = dict(batch)
+    bad['audio'] = np.full_like(batch['audio'], np.nan)
+    with pytest.raises(NanLossError):
+        trainer.train_step(state, bad)

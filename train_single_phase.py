@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Train a DDSP-Piano TPU model (single training phase).
+
+Argument-compatible with the reference trainer CLI
+(/root/reference/train_single_phase.py): epochs x steps of mesh-parallel
+gradient descent with phase-dependent trainability, NaN guard, TensorBoard
+scalars/audio/spectrograms, and best/last/crashed/stopped checkpoints under
+<exp_dir>/phase_<N>/.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+osjoin = os.path.join
+logging.basicConfig(level=logging.INFO, format='%(message)s')
+
+
+def process_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--batch_size', '-b', type=int, default=6,
+                        help="Number of elements per batch. "
+                             "(default: %(default)s)")
+    parser.add_argument('--steps_per_epoch', '-s', type=int, default=5000,
+                        help="Number of steps of gradient descent per epoch. "
+                             "(default: %(default)s)")
+    parser.add_argument('--epochs', '-e', type=int, default=128,
+                        help="Number of epochs. (default: %(default)s)")
+    parser.add_argument('--lr', type=float, default=0.001,
+                        help="Learning rate. (default: %(default)s)")
+    parser.add_argument('--config', '-c', default='maestro_v2',
+                        help="Model config name or .gin path.")
+    parser.add_argument('--phase', '-p', type=int, default=1,
+                        help="Training phase strategy to apply. Even phases "
+                             "fine-tune only the detuner/inharmonicity "
+                             "sub-modules. (default: %(default)s)")
+    parser.add_argument('--restore', '-r', type=str, default=None,
+                        help="Restore training state from a saved folder.")
+    parser.add_argument('--val_path', type=str, default=None,
+                        help="Path to the validation data (if different "
+                             "from maestro_path).")
+    parser.add_argument('--n_devices', type=int, default=None,
+                        help="Devices in the data-parallel mesh "
+                             "(default: all).")
+    parser.add_argument('maestro_path', type=str,
+                        help="Path to the MAESTRO dataset folder (or "
+                             "preprocessed cache dir).")
+    parser.add_argument('exp_dir', type=str,
+                        help="Folder to store experiment results and logs.")
+    return parser.parse_args(argv)
+
+
+def main(args):
+    import jax
+    import numpy as np
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.data import pipeline
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+    from ddsp_piano_tpu.training import summaries
+    from ddsp_piano_tpu.training.trainer import NanLossError, Trainer
+
+    first_phase = (args.phase % 2) == 1
+
+    model = get_model(args.config, first_phase=first_phase)
+    mesh = mesh_lib.get_mesh(args.n_devices)
+    logging.info("Mesh: %d device(s), data-parallel", mesh.devices.size)
+    trainer = Trainer(model, learning_rate=args.lr,
+                      first_phase=first_phase, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    val_path = args.maestro_path if args.val_path is None else args.val_path
+    dataset_kwargs = dict(batch_size=args.batch_size,
+                          max_polyphony=model.n_synths,
+                          sample_rate=model.sample_rate)
+    train_iterator = pipeline.Prefetcher(
+        pipeline.get_training_dataset(args.maestro_path, **dataset_kwargs))
+
+    if args.restore is not None:
+        state = trainer.restore(state, args.restore)
+        logging.info("Restored model from %s at step %d", args.restore,
+                     int(state.step))
+
+    exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
+    for sub in ('logs', 'last_iter', 'best_iter'):
+        os.makedirs(osjoin(exp_dir, sub), exist_ok=True)
+    writer = summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
+
+    lowest_val_loss = float('inf')
+    loss_keys = model.loss_keys()
+    try:
+        for epoch in range(args.epochs):
+            step = int(state.step)  # step != epoch when resuming
+
+            # ----------------- fit training data -----------------
+            epoch_losses = {k: 0.0 for k in loss_keys}
+            for _ in range(args.steps_per_epoch):
+                state, losses = trainer.train_step(state,
+                                                   next(train_iterator))
+                for k in loss_keys:
+                    epoch_losses[k] += losses[k]
+
+            logging.info("Epoch %d training loss: %.4f", epoch,
+                         epoch_losses['total_loss'] / args.steps_per_epoch)
+            writer.scalars('train_loss',
+                           {k: v / args.steps_per_epoch
+                            for k, v in epoch_losses.items()}, step)
+            trainer.save(state, osjoin(exp_dir, 'last_iter'))
+            logging.info("Last iteration model saved at %s",
+                         osjoin(exp_dir, 'last_iter'))
+
+            # ------------- skip validation early on -------------
+            val_dataset = pipeline.get_validation_dataset(val_path,
+                                                          **dataset_kwargs)
+            if int(state.step) < 3 * args.steps_per_epoch:
+                val_batch = next(iter(val_dataset), None)
+                if val_batch is not None:
+                    _, audio_synth = trainer.validation_step(state,
+                                                             val_batch)
+                    writer.audio('synthesized_audio', audio_synth,
+                                 model.sample_rate, int(state.step))
+                continue
+
+            # ------------- evaluate on validation data -------------
+            epoch_val_losses = {k: 0.0 for k in loss_keys}
+            val_outs_summary = None
+            val_steps = 0
+            for val_batch in val_dataset:
+                val_losses, audio_synth = trainer.validation_step(state,
+                                                                  val_batch)
+                for k in loss_keys:
+                    epoch_val_losses[k] += val_losses[k]
+                if val_steps == 0:
+                    val_outs_summary = (val_batch['audio'], audio_synth)
+                val_steps += 1
+            if val_steps == 0:
+                continue
+
+            logging.info("Validation loss: %.4f",
+                         epoch_val_losses['total_loss'] / val_steps)
+            writer.scalars('val_loss',
+                           {k: v / val_steps
+                            for k, v in epoch_val_losses.items()}, step)
+            writer.audio('synthesized_audio', val_outs_summary[1],
+                         model.sample_rate, step)
+            writer.spectrogram_summary(val_outs_summary[0],
+                                       val_outs_summary[1], step,
+                                       sample_rate=model.sample_rate)
+            for name, fig in summaries.tuning_curve_figures(
+                    model, state.params).items():
+                writer.figure(f'tuning/{name}', fig, step)
+
+            if epoch_val_losses['audio_stft_loss'] < lowest_val_loss:
+                lowest_val_loss = epoch_val_losses['audio_stft_loss']
+                trainer.save(state, osjoin(exp_dir, 'best_iter'))
+            writer.flush()
+
+    except NanLossError as e:
+        trainer.save(state, osjoin(exp_dir, 'crashed_iter'))
+        logging.error("%s", e)
+    except KeyboardInterrupt:
+        trainer.save(state, osjoin(exp_dir, 'stopped_iter'))
+
+
+if __name__ == '__main__':
+    main(process_args())
