@@ -37,6 +37,9 @@ def build_inputs(duration, n_synths=16, frame_rate=250):
 
 def main():
     import jax
+
+    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from ddsp_piano_tpu.configs import get_model

@@ -11,7 +11,8 @@ from typing import Dict, Optional
 import numpy as np
 
 from ddsp_piano_tpu.data import audio_io, midi
-from ddsp_piano_tpu.data.midi_encoders import MIDIRoll2Conditioning
+from ddsp_piano_tpu.data.midi_encoders import (MIDIRoll2Conditioning,
+                                                roll_to_conditioning)
 
 
 def ensure_sequence_length(sequence: np.ndarray, length: int,
@@ -56,7 +57,7 @@ def load_midi_as_conditioning(mid_path: str,
     """
     note_sequence = load_midi_as_note_sequence(mid_path)
     midi_roll, pedals = midi_roll_from_sequence(note_sequence, frame_rate)
-    conditioning, _ = MIDIRoll2Conditioning(n_synths)(midi_roll)
+    conditioning, _ = roll_to_conditioning(midi_roll, n_synths)
 
     if duration is None:
         target_n_frames = int(np.ceil(note_sequence.total_time) * frame_rate)
@@ -86,7 +87,7 @@ def load_data(audio_path: str,
     note_sequence = load_midi_as_note_sequence(mid_path)
     midi_roll, pedals = midi_roll_from_sequence(note_sequence, frame_rate)
     if max_polyphony is not None:
-        conditioning, polyphony = MIDIRoll2Conditioning(max_polyphony)(
-            midi_roll)
+        conditioning, polyphony = roll_to_conditioning(midi_roll,
+                                                       max_polyphony)
         return audio, conditioning, pedals, polyphony
     return audio, midi_roll, pedals

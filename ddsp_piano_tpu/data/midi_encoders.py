@@ -24,6 +24,25 @@ from typing import Tuple
 import numpy as np
 
 
+def roll_to_conditioning(roll: np.ndarray, n_synths: int = 16,
+                         use_native: str = 'auto'
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Allocate a fresh-state pianoroll into monophonic channels.
+
+    Dispatches to the C++ allocator (ddsp_piano_tpu.native) when available
+    — the per-frame loop is the host-side hot spot — with the numpy
+    implementation as fallback and semantic reference.
+    """
+    if use_native in ('auto', 'always'):
+        try:
+            from ddsp_piano_tpu import native
+            return native.allocate_voices(roll, n_synths)
+        except (ImportError, RuntimeError):
+            if use_native == 'always':
+                raise
+    return MIDIRoll2Conditioning(n_synths)(roll)
+
+
 class MIDIRoll2Conditioning:
     """Stateful pianoroll -> polyphonic-conditioning converter."""
 

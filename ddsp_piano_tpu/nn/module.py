@@ -57,6 +57,26 @@ class Sequential(Module):
             x = layer(p, x, **kwargs)
         return x
 
+    def apply_with_state(self, params: Params, x, states=None, **kwargs):
+        """Apply, threading recurrent state through stateful layers.
+
+        `states` is a list aligned with the layer list (None for stateless
+        layers). Used by the streaming-inference driver to carry GRU hidden
+        states across chunks.
+        """
+        from ddsp_piano_tpu.nn.layers import GRU
+        new_states = []
+        for i, (layer, p) in enumerate(zip(self.layers, params)):
+            if isinstance(layer, GRU):
+                s = states[i] if states is not None else None
+                x, h = layer(p, x, initial_state=s, return_state=True,
+                             **kwargs)
+                new_states.append(h)
+            else:
+                x = layer(p, x, **kwargs)
+                new_states.append(None)
+        return x, new_states
+
 
 def split_keys(key: jax.Array, names: Sequence[str]) -> Dict[str, jax.Array]:
     """Named RNG split."""

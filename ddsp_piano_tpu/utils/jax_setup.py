@@ -1,0 +1,27 @@
+"""Process-level JAX configuration helpers for CLIs and benchmarks."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Enable JAX's persistent compilation cache.
+
+    First compiles of the full model (and especially Pallas kernels under
+    the remote-compile relay) take minutes; the persistent cache makes
+    every subsequent process start hit warm. Safe to call multiple times.
+    """
+    import jax
+
+    cache_dir = (cache_dir
+                 or os.environ.get('JAX_COMPILATION_CACHE_DIR')
+                 or os.path.expanduser('~/.cache/ddsp_piano_tpu/jax'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except Exception:
+        pass  # older jax or read-only fs: carry on without the cache
+    return cache_dir

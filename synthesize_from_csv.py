@@ -43,6 +43,9 @@ def process_args(argv=None):
 
 def main(args):
     import jax
+
+    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     import pandas as pd

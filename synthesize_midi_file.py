@@ -40,6 +40,12 @@ def process_args(argv=None):
                         help="Also generate dry piano audio, without reverb.")
     parser.add_argument('--seed', type=int, default=0,
                         help="RNG seed for the noise synthesizer.")
+    parser.add_argument('--streaming', action='store_true',
+                        help="Render in fixed-size compiled chunks with "
+                             "carried state (bounded memory, one compile "
+                             "for any file length).")
+    parser.add_argument('--chunk_seconds', type=float, default=2.0,
+                        help="Streaming chunk length (default: %(default)s)")
     parser.add_argument('midi_file', type=str,
                         help="Piano MIDI file to synthesize.")
     parser.add_argument('out_file', type=str,
@@ -75,6 +81,9 @@ def restore_params(model, params, ckpt):
 
 def main(args):
     import jax
+
+    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -100,14 +109,35 @@ def main(args):
                  "(first run compiles, this can take ~1 min)...")
     features = {k: jnp.asarray(v) for k, v in inputs.items()
                 if k != 'duration'}
-
-    @jax.jit
-    def forward(params, features):
-        return model(params, features, rng=jax.random.PRNGKey(args.seed))
-
-    outs = forward(params, features)
     sample_rate = model.sample_rate
     crop = int(args.warm_up * sample_rate)
+
+    if args.streaming:
+        from ddsp_piano_tpu.models.streaming import StreamingSynthesizer
+        chunk_frames = int(args.chunk_seconds * model.frame_rate)
+        total = features['conditioning'].shape[1]
+        if total % chunk_frames:  # right-pad to a whole number of chunks
+            pad = chunk_frames - total % chunk_frames
+            for k in ('conditioning', 'pedal'):
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (
+                    features[k].ndim - 2)
+                features[k] = jnp.pad(features[k], widths)
+        streamer = StreamingSynthesizer(model, chunk_frames=chunk_frames)
+        audio_synth = streamer.synthesize(
+            params, features, rng=jax.random.PRNGKey(args.seed))
+        n_samples = int(inputs['duration'] * sample_rate)
+        outs = {'audio_synth': audio_synth[:, :n_samples]}
+        if args.unreverbed:
+            logging.warning("--unreverbed is not available in streaming "
+                            "mode; skipping the dry stem.")
+            args.unreverbed = False
+    else:
+        @jax.jit
+        def forward(params, features):
+            return model(params, features,
+                         rng=jax.random.PRNGKey(args.seed))
+
+        outs = forward(params, features)
 
     audio = np.asarray(outs['audio_synth'])[0, crop:]
     audio_io.write_wav(args.out_file, audio, sample_rate)

@@ -209,3 +209,41 @@ class TestLoadMidiAsConditioning:
         assert (inputs['conditioning'][:, :125] == 0).all()
         # Sustained pitch 60 present after warm-up.
         assert 60.0 in inputs['conditioning'][0, 130, :, 0]
+
+
+class TestNativeAllocator:
+    """C++ allocator parity vs the numpy reference implementation."""
+
+    def _random_roll(self, seed, n_frames=400, density=30):
+        rng = np.random.RandomState(seed)
+        roll = np.zeros((n_frames, 88, 2), np.float32)
+        for _ in range(density):
+            p = rng.randint(0, 88)
+            s = rng.randint(0, n_frames - 5)
+            e = s + rng.randint(1, 40)
+            roll[s:e, p, 0] = 1.0
+            roll[s, p, 1] = rng.rand()
+        return roll
+
+    def test_native_matches_numpy(self):
+        from ddsp_piano_tpu import native
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from ddsp_piano_tpu.data.midi_encoders import MIDIRoll2Conditioning
+        for seed in range(5):
+            roll = self._random_roll(seed)
+            want_c, want_p = MIDIRoll2Conditioning(16)(roll.copy())
+            got_c, got_p = native.allocate_voices(roll, 16)
+            np.testing.assert_array_equal(got_p, want_p)
+            np.testing.assert_array_equal(got_c, want_c)
+
+    def test_native_matches_numpy_overflow_polyphony(self):
+        """Behavior parity also when polyphony exceeds capacity."""
+        from ddsp_piano_tpu import native
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        from ddsp_piano_tpu.data.midi_encoders import MIDIRoll2Conditioning
+        roll = self._random_roll(99, n_frames=200, density=80)
+        want_c, want_p = MIDIRoll2Conditioning(4)(roll.copy())
+        got_c, got_p = native.allocate_voices(roll, 4)
+        np.testing.assert_array_equal(got_c, want_c)

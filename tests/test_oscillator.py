@@ -145,3 +145,22 @@ def test_nyquist_masking():
     assert spec[np.argmin(np.abs(freqs - 6000))] > 10
     # 9 and 12 kHz are above Nyquist -> masked.
     assert spec[np.argmin(np.abs(freqs - 7900))] < 1.0
+
+
+def test_pallas_kernel_interpret_matches_jnp():
+    """Fused Pallas kernel (interpreter mode on CPU) == jnp renderer."""
+    from ddsp_piano_tpu.kernels.oscillator_pallas import (
+        render_framewise_pallas)
+
+    sr, up = 16000, 64
+    f0, amps, dist = _rand_controls(b=3, n_frames=20, n_harm=8)
+    k = np.arange(1, 9, dtype=np.float32)
+    freqs = (f0 * k).astype(np.float32)
+    hamps = (amps * dist).astype(np.float32)
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(hamps), up, sr)
+    want = np.asarray(oscillator.render_framewise(controls, up, sr,
+                                                  backend='jnp'))
+    got = np.asarray(render_framewise_pallas(controls, up, sr,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,129 @@
+"""Streaming synthesis: chunked render with carried state vs one-shot."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu import nn, processors
+from ddsp_piano_tpu.models import (PianoModel, Parallelizer,
+                                   VectorizedPolyphonicProcessorGroup)
+from ddsp_piano_tpu.models import sub_modules as sm
+from ddsp_piano_tpu.models.streaming import StreamingSynthesizer
+
+
+def build_streamable_model(n_synths=4, sample_rate=16000, frame_rate=250,
+                           silent_noise=True, duration=2.0):
+    """dafx22-style model with per-timestep LayerNorm (exactly streamable)
+    and optionally near-silent noise so additive-path comparisons are
+    deterministic."""
+    z_dim = 16
+    context_in = n_synths * 2 + 4 + z_dim
+    context_network = sm.ContextNetwork(
+        layers=[nn.Dense(32, context_in, activation='leaky_relu'),
+                nn.GRU(64, 32),
+                nn.LayerNormalization(64)],
+        out_features=64)
+    monophonic_network = sm.MonophonicNetwork(
+        layers=[nn.Dense(64, 35, activation='leaky_relu'),
+                nn.GRU(96, 64),
+                nn.LayerNormalization(96)],
+        out_features=96,
+        output_splits=(('amplitudes', 1),
+                       ('harmonic_distribution', 16),
+                       ('magnitudes', 17)))
+    group = VectorizedPolyphonicProcessorGroup(
+        additive=processors.MultiInharmonic(
+            name='additive', frame_rate=frame_rate,
+            sample_rate=sample_rate),
+        noise=processors.DynamicSizeFilteredNoise(
+            name='noise', frame_rate=frame_rate, sample_rate=sample_rate,
+            initial_bias=-25.0 if silent_noise else -5.0),
+        reverb=processors.Reverb(trainable=False),
+        additive_controls=('amplitudes', 'harmonic_distribution',
+                           'inharm_coef', 'f0_hz'),
+        noise_controls=('magnitudes',),
+        reverb_controls=('reverb_ir',),
+        n_synths=n_synths)
+    return PianoModel(
+        z_encoder=sm.OneHotZEncoder(n_instruments=4, z_dim=z_dim,
+                                    duration=duration,
+                                    frame_rate=frame_rate),
+        note_release=sm.NoteRelease(frame_rate=frame_rate),
+        context_network=context_network,
+        parallelizer=Parallelizer(n_synths=n_synths),
+        monophonic_network=monophonic_network,
+        inharm_model=sm.InharmonicityNetwork(),
+        detuner=sm.Detuner(n_substrings=2, use_detune=True),
+        reverb_model=sm.MultiInstrumentReverb(
+            n_instruments=4, reverb_duration=0.25,
+            sample_rate=sample_rate),
+        processor_group=group)
+
+
+def _features(n_frames=500, n_synths=4):
+    cond = np.zeros((1, n_frames, n_synths, 2), np.float32)
+    # A note crossing chunk boundaries + a short note inside chunk 2.
+    cond[:, 20:n_frames - 120, 0, 0] = 60.0
+    cond[:, 20:28, 0, 1] = 0.8
+    cond[:, 300:340, 1, 0] = 67.0
+    cond[:, 300:308, 1, 1] = 0.6
+    return {
+        'conditioning': jnp.asarray(cond),
+        'pedal': jnp.zeros((1, n_frames, 4)),
+        'piano_model': jnp.zeros((1, 1), jnp.int32),
+    }
+
+
+class TestStreaming:
+    @pytest.fixture(scope='class')
+    def setup(self):
+        model = build_streamable_model()
+        params = model.init(jax.random.PRNGKey(0))
+        feats = _features()
+        return model, params, feats
+
+    def test_streamed_matches_one_shot(self, setup):
+        model, params, feats = setup
+        one_shot = np.asarray(jax.jit(
+            lambda p, f: model(p, f, rng=jax.random.PRNGKey(0))
+        )(params, feats)['audio_synth'])
+
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        streamed = streamer.synthesize(params, feats,
+                                       rng=jax.random.PRNGKey(0))
+        assert streamed.shape == one_shot.shape
+        # Additive path is deterministic; noise is near-silent; the final
+        # flushed frame is approximated -> compare all but the last frame.
+        up = one_shot.shape[-1] // feats['conditioning'].shape[1]
+        a, b = one_shot[:, :-up], streamed[:, :-up]
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=0.02 * scale)
+        # Strong sample-level agreement.
+        corr = np.corrcoef(a[0], b[0])[0, 1]
+        assert corr > 0.999
+
+    def test_note_release_carries_across_chunks(self, setup):
+        """A note ending mid-chunk keeps ringing into the next chunk
+        (release state carried)."""
+        model, params, feats = setup
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        streamed = streamer.synthesize(params, feats,
+                                       rng=jax.random.PRNGKey(0))
+        sr = model.sample_rate
+        # The long note ends at frame 380 (1.52 s); release extends ~1.1 s.
+        post_release = streamed[0, int(1.6 * sr):int(1.9 * sr)]
+        assert np.abs(post_release).max() > 1e-3
+
+    def test_chunk_count_invariance(self, setup):
+        """Different chunk sizes give the same audio."""
+        model, params, feats = setup
+        s1 = StreamingSynthesizer(model, chunk_frames=125).synthesize(
+            params, feats, rng=jax.random.PRNGKey(0))
+        s2 = StreamingSynthesizer(model, chunk_frames=250).synthesize(
+            params, feats, rng=jax.random.PRNGKey(0))
+        up = s1.shape[-1] // feats['conditioning'].shape[1]
+        scale = max(np.abs(s1).max(), 1e-6)
+        np.testing.assert_allclose(s1[:, :-up], s2[:, :-up],
+                                   atol=0.02 * scale)

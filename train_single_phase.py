@@ -53,6 +53,9 @@ def process_args(argv=None):
 
 def main(args):
     import jax
+
+    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     from ddsp_piano_tpu.configs import get_model
