@@ -221,18 +221,23 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
 
     rng = np.random.RandomState(seed)
     epoch = 0
-    while True:
-        order = list(range(len(items)))
-        if shuffle:
-            rng.shuffle(order)
-        with ThreadPoolExecutor(max(num_workers, 1)) as pool:
+    pool = ThreadPoolExecutor(max(num_workers, 1))
+    try:
+        while True:
+            order = list(range(len(items)))
+            if shuffle:
+                rng.shuffle(order)
             for track in pool.map(lambda i: load(items[i]), order):
                 if 'filename' not in track:
                     track = dict(track, filename=f'track_{epoch}')
                 yield track
-        epoch += 1
-        if not infinite:
-            return
+            epoch += 1
+            if not infinite:
+                return
+    finally:
+        # Don't join worker threads from the generator finalizer (the
+        # interpreter may already be tearing down).
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def get_dataset(filename: str,

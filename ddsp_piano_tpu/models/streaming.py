@@ -61,6 +61,7 @@ class StreamingSynthesizer:
         self.model = model
         self.chunk_frames = chunk_frames
         self._chunk_fn = jax.jit(self._chunk_forward)
+        self._scan_fn = None
 
     # ------------------------------------------------------------------
 
@@ -199,9 +200,19 @@ class StreamingSynthesizer:
             group.noise_controls)
         controls_now = {k: feats[k] for k in ctrl_keys}
         prev = state.get('prev_controls')
-        if prev is None:
-            windowed = controls_now
+        first = state.get('first')  # traced 0/1 scalar in scan mode
+        if prev is None and first is None:
+            windowed = controls_now        # legacy first chunk: C-1 frames
         else:
+            if first is not None:
+                # Uniform (scan) mode: on the first chunk, substitute the
+                # current first frame as "previous" (the resulting duplicate
+                # rendered frame is dropped by the driver and its phase
+                # contribution cancelled below).
+                now_first = {k: controls_now[k][:, :1] for k in ctrl_keys}
+                prev = jax.tree.map(
+                    lambda p, n: jnp.where(first > 0, n, p), prev,
+                    now_first)
             windowed = {k: jnp.concatenate([prev[k], controls_now[k]],
                                            axis=1) for k in ctrl_keys}
         new_prev = {k: v[:, -1:] for k, v in controls_now.items()}
@@ -226,6 +237,14 @@ class StreamingSynthesizer:
         osc_controls = oscillator.framewise_osc_controls(
             freqs, amps, up, sample_rate,
             initial_phase=state.get('osc_phase'), lookahead=True)
+        if first is not None:
+            # Cancel the duplicated frame's phase advance so frame 0 of the
+            # real sequence starts at phase zero, exactly like the one-shot
+            # render.
+            adjust = first * osc_controls.phase0[:, 1:2]
+            osc_controls = osc_controls._replace(
+                phase0=jnp.mod(osc_controls.phase0 - adjust,
+                               2.0 * np.pi))
         sig_add = oscillator.render_framewise(osc_controls, up, sample_rate)
         new_phase = oscillator.framewise_final_phase(osc_controls, up,
                                                      sample_rate)
@@ -287,6 +306,8 @@ class StreamingSynthesizer:
             'prev_controls': new_prev,
             'reverb_tail': new_tail,
         }
+        if first is not None:
+            new_state['first'] = jnp.zeros_like(first)
         return audio, new_state
 
     # ------------------------------------------------------------------
@@ -332,3 +353,80 @@ class StreamingSynthesizer:
         up = audio.shape[-1] // C
         chunks.append(np.asarray(audio)[:, :up])
         return np.concatenate(chunks, axis=1)
+
+    # ------------------------------------------------------------------
+
+    def _zero_state(self, params, features, rng):
+        """Concrete zero state matching the carried-state pytree (shapes
+        discovered abstractly via eval_shape of the first-chunk body)."""
+        C = self.chunk_frames
+        chunk_feats = {
+            'conditioning': features['conditioning'][:, :C],
+            'pedal': features['pedal'][:, :C],
+            'piano_model': features['piano_model'],
+        }
+        _, state_shapes = jax.eval_shape(
+            lambda p, f: self._chunk_forward(p, f, {}, rng),
+            params, chunk_feats)
+        state = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), state_shapes)
+        state['first'] = jnp.ones((), jnp.float32)
+        return state
+
+    def synthesize_scanned(self, params, features: Dict[str, Any],
+                           rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Device-resident long-file render: one jit, lax.scan over chunks.
+
+        Functionally identical to synthesize() but the whole loop lives on
+        device (no per-chunk host round trips), which restores one-shot
+        throughput for arbitrarily long files at fixed memory.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        C = self.chunk_frames
+        total = features['conditioning'].shape[1]
+        if total % C != 0:
+            raise ValueError(f"total frames {total} must be divisible by "
+                             f"chunk_frames {C}")
+        n_chunks = total // C
+
+        def run(params, features, rng):
+            state = self._zero_state(params, features, rng)
+            cond = features['conditioning']
+            pedal = features['pedal']
+            b = cond.shape[0]
+            cond_c = cond.reshape(b, n_chunks, C, *cond.shape[2:]
+                                  ).swapaxes(0, 1)
+            pedal_c = pedal.reshape(b, n_chunks, C, pedal.shape[-1]
+                                    ).swapaxes(0, 1)
+            rngs = jax.random.split(rng, n_chunks)
+
+            def body(state, xs):
+                cond_i, pedal_i, rng_i = xs
+                chunk_feats = {'conditioning': cond_i, 'pedal': pedal_i,
+                               'piano_model': features['piano_model']}
+                audio, state = self._chunk_forward(params, chunk_feats,
+                                                   state, rng_i)
+                return state, audio
+
+            state, audio = jax.lax.scan(body, state,
+                                        (cond_c, pedal_c, rngs))
+            # (n_chunks, b, C*up) -> (b, total*up)
+            audio = jnp.swapaxes(audio, 0, 1).reshape(b, -1)
+            # Flush the final frame with repeated last-frame conditioning.
+            flush_feats = {
+                'conditioning': jnp.repeat(cond[:, -1:], C, axis=1),
+                'pedal': jnp.repeat(pedal[:, -1:], C, axis=1),
+                'piano_model': features['piano_model'],
+            }
+            tail_audio, _ = self._chunk_forward(params, flush_feats, state,
+                                                jax.random.fold_in(rng,
+                                                                   1 << 20))
+            up = tail_audio.shape[-1] // C
+            # Drop the duplicated first frame; append the flushed frame.
+            return jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
+                                   axis=1)
+
+        if self._scan_fn is None:
+            self._scan_fn = jax.jit(run)
+        return np.asarray(self._scan_fn(params, features, rng))

@@ -56,3 +56,36 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/optimizer state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Initialize JAX multi-host distribution over DCN.
+
+    The multi-host analogue of the reference's TPUStrategy resolution
+    (SURVEY §2.9): call once per host before device use; afterwards
+    jax.devices() spans the full slice and get_mesh() builds a global
+    data mesh. No-ops on a single host with no coordinator configured.
+    """
+    import jax
+
+    if coordinator_address is None:
+        import os
+        coordinator_address = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's slice of a globally-sharded batch (per-host data
+    loading; the AutoShardPolicy.DATA equivalent across hosts)."""
+    import jax
+
+    per_host = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

@@ -25,3 +25,22 @@ def enable_compilation_cache(cache_dir: str = None):
     except Exception:
         pass  # older jax or read-only fs: carry on without the cache
     return cache_dir
+
+
+def profile_trace(logdir: str = '/tmp/ddsp_piano_tpu_profile'):
+    """Context manager: capture a jax.profiler trace viewable in
+    TensorBoard's profile plugin (the framework's tracing hook; the
+    reference has none — SURVEY §5)."""
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def _trace():
+        jax.profiler.start_trace(logdir)
+        try:
+            yield logdir
+        finally:
+            jax.profiler.stop_trace()
+
+    return _trace()

@@ -164,3 +164,23 @@ class TestMaestroV2:
         f0, b_coef = inharm(params['inharm_model'], pitch, piano)
         assert 430.0 < float(f0[0, 0, 0]) < 450.0
         assert 0.0 < float(b_coef[0, 0, 0]) < 1e-2
+
+
+class TestDefaultModel:
+    """Legacy non-config assembly path (reference default_model.py)."""
+
+    def test_get_model_and_build(self):
+        from ddsp_piano_tpu.models import default_model
+        model = default_model.get_model(duration=DUR, n_synths=4)
+        params = default_model.build_model(model, batch_size=1, duration=DUR)
+        assert model.n_synths == 4
+        assert model.sample_rate == 16000
+        assert params['inharm_model']['slopes'].shape == (2,)
+
+    def test_sequential_group_option(self):
+        from ddsp_piano_tpu.models import default_model
+        from ddsp_piano_tpu.processors.base import ProcessorGroup
+        group = default_model.build_polyphonic_processor_group(
+            n_synths=2, vectorized=False)
+        assert isinstance(group, ProcessorGroup)
+        assert len(group.dag) == 2 * 3 + 1

@@ -127,3 +127,17 @@ class TestStreaming:
         scale = max(np.abs(s1).max(), 1e-6)
         np.testing.assert_allclose(s1[:, :-up], s2[:, :-up],
                                    atol=0.02 * scale)
+
+    def test_scanned_matches_python_loop(self, setup):
+        """Device-resident lax.scan driver == python-loop driver."""
+        model, params, feats = setup
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        looped = streamer.synthesize(params, feats,
+                                     rng=jax.random.PRNGKey(0))
+        scanned = streamer.synthesize_scanned(params, feats,
+                                              rng=jax.random.PRNGKey(0))
+        assert scanned.shape == looped.shape
+        scale = max(np.abs(looped).max(), 1e-6)
+        # Same carried-state math; rng folding differs per chunk for the
+        # (near-silent) noise, so allow a small absolute budget.
+        np.testing.assert_allclose(scanned, looped, atol=0.02 * scale)
