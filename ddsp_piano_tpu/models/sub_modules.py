@@ -923,7 +923,7 @@ class NoteRelease(nn.DictModule):
         def step(state, xt):
             return self.cell.step(cell_params, state, xt)
 
-        final_state, ys = jax.lax.scan(step, state0, x)
+        final_state, ys = jax.lax.scan(step, state0, x, unroll=8)
         extended = jnp.swapaxes(ys, 0, 1)
         if return_state:
             return extended, final_state

@@ -212,10 +212,15 @@ class GRU(Module):
     """
 
     def __init__(self, units: int, in_features: int,
-                 return_sequences: bool = True, name: Optional[str] = None):
+                 return_sequences: bool = True, unroll: int = 8,
+                 name: Optional[str] = None):
         self.units = units
         self.in_features = in_features
         self.return_sequences = return_sequences
+        # lax.scan unroll factor: the recurrent matmuls are tiny, so the
+        # sequential scans dominate forward latency on TPU; unrolling
+        # amortizes per-step loop overhead.
+        self.unroll = unroll
         self.name = name
 
     def init(self, key):
@@ -248,7 +253,8 @@ class GRU(Module):
             h_new = z * h + (1.0 - z) * hh
             return h_new, h_new
 
-        h_last, hs = jax.lax.scan(step, h0, x_proj)
+        h_last, hs = jax.lax.scan(step, h0, x_proj,
+                                   unroll=self.unroll)
         out = jnp.swapaxes(hs, 0, 1) if self.return_sequences else h_last
         if return_state:
             return out, h_last

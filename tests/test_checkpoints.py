@@ -80,3 +80,42 @@ def test_dafx22_ckpt_synthesizes_piano_like_audio():
     peak_region = spec[(freqs > 400) & (freqs < 480)].max()
     background = np.median(spec[freqs > 50])
     assert peak_region > 20 * background
+
+
+V2_CKPT = '/root/reference/ddsp_piano/model_weights/v2/ckpt-225000'
+
+
+@pytest.mark.skipif(not os.path.exists(V2_CKPT + '.index'),
+                    reason="v2 checkpoint index not mounted")
+def test_v2_structural_parity_with_released_index():
+    """The maestro-v2 model matches the released v2 checkpoint variable
+    names AND shapes exactly (104/104). The v2 data blob is absent from
+    this mount, so structural parity is the strongest available check
+    (SURVEY §6)."""
+    import tensorflow as tf
+
+    model = get_model('maestro_v2', duration=3.0)
+    mapping = checkpoints.tf_name_map(model)
+    params = model.init(jax.random.PRNGKey(0))
+
+    tf_vars = {}
+    suffix = '/.ATTRIBUTES/VARIABLE_VALUE'
+    for name, shape in tf.train.list_variables(V2_CKPT):
+        if (not name.endswith(suffix) or 'OPTIMIZER' in name
+                or not name.startswith('model/')):
+            continue
+        tf_vars[name[len('model/'):-len(suffix)]] = tuple(shape)
+
+    ours = {}
+    for tf_name, (slot, path) in mapping.items():
+        node = params[slot]
+        for p in path:
+            node = node[p]
+        ours[tf_name] = tuple(node.shape)
+
+    assert set(tf_vars) == set(ours), (
+        sorted(set(tf_vars) ^ set(ours)))
+    mismatched = {k: (tf_vars[k], ours[k]) for k in tf_vars
+                  if tf_vars[k] != ours[k]}
+    assert not mismatched, mismatched
+    assert len(tf_vars) == 104

@@ -217,3 +217,42 @@ class TestSurrogate:
         head = np.abs(audio[:320]).max()
         tail = np.abs(audio[-320:]).max()
         assert tail < 0.1 * head
+
+
+class TestNoiseBandNet:
+    def test_forward_shape_and_band_structure(self):
+        synth = processors.NoiseBandNetSynth(n_band=16, upsampling=64,
+                                             sample_rate=16000,
+                                             min_noise_len=2 ** 4)
+        # FilterBank emits n_band//2-1 + n_band//2-1 bands + LP + HP + BP
+        # edge filters; the amplitude input must match the band count.
+        n_bands = synth.noise_bands.shape[-1]
+        amps = jnp.asarray(RNG.rand(2, 50, n_bands).astype(np.float32))
+        out = synth({}, amps, rng=jax.random.PRNGKey(0))
+        assert out.shape == (2, 50 * 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_filterbank_covers_spectrum(self):
+        fb = processors.FilterBank(n_filters_linear=8, n_filters_log=8,
+                                   sample_rate=16000)
+        centers = fb.band_centers
+        assert centers[0] < 30
+        assert centers[-1] > 7000
+        assert (np.diff(centers) > 0).all()
+
+
+class TestLoudnessLoss:
+    def test_loudness_loss_orders_levels(self):
+        from ddsp_piano_tpu.models import losses as losses_lib
+        sr = 16000
+        t = np.arange(sr) / sr
+        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
+        outputs_same = {'a': {'signal': jnp.asarray(tone)},
+                        'b': {'signal': jnp.asarray(tone)}}
+        outputs_diff = {'a': {'signal': jnp.asarray(tone)},
+                        'b': {'signal': jnp.asarray(0.05 * tone)}}
+        loss = losses_lib.LoudnessLoss('a', 'b', sample_rate=sr)
+        same = float(loss.compute(outputs_same))
+        diff = float(loss.compute(outputs_diff))
+        assert same < 1e-4
+        assert diff > 5.0  # ~26 dB level difference
