@@ -271,6 +271,13 @@ def apply_sustain_control_changes(sequence: MidiSequence,
                 # Only sustain notes whose natural offset this is (the end
                 # time may already have been rewritten by a re-strike).
                 sustained[ch].append(obj)
+    # Pedal still down at end of sequence: sustained notes ring until the
+    # final event time (note_seq behavior for performances without a
+    # trailing pedal release).
+    end_of_events = max([e[0] for e in events] + [sequence.total_time])
+    for ch in range(16):
+        for n in sustained[ch]:
+            n.end_time = end_of_events
     total_time = max([n.end_time for n in notes] + [sequence.total_time])
     return MidiSequence(notes=notes,
                        control_changes=list(sequence.control_changes),
@@ -294,8 +301,9 @@ def sequence_to_pianoroll(sequence: MidiSequence,
 
     Frame conventions follow note_seq: a note occupies frames
     [floor(start * fps), ceil(end * fps)), the onset-velocity roll marks
-    frames covering [start, start + onset_window] with velocity / 127, and
-    the roll has ceil(total_time * fps) + 1 frames.
+    frames covering [start, start + onset_window] with velocity / 127
+    (note_seq's onset_mode='window' with its 32 ms default onset length),
+    and the roll has ceil(total_time * fps) + 1 frames.
     """
     fps = float(frames_per_second)
     n_frames = int(np.ceil(sequence.total_time * fps)) + 1

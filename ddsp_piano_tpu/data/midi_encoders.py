@@ -77,7 +77,12 @@ class MIDIRoll2Conditioning:
         pitched = active * self.pitch_mul
 
         # Top-n pitches per frame, ascending (zeros fill unused slots).
-        idxs = np.argsort(pitched, axis=-1)[:, -n:]
+        # kind='stable' pins the order of tied zero-pitch keys so the C++
+        # allocator can reproduce it bit-for-bit. (The reference's default
+        # quicksort tie order is an unspecified implementation detail; ties
+        # only decide which silent key's velocity fills unused slots, never
+        # the channel assignment of sounding notes.)
+        idxs = np.argsort(pitched, axis=-1, kind='stable')[:, -n:]
         pitches_all = np.take_along_axis(pitched, idxs, axis=-1)
         velocity_all = np.take_along_axis(roll[..., 1], idxs, axis=-1)
 

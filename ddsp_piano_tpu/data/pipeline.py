@@ -219,15 +219,31 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
                                       sample_rate, frame_rate,
                                       max_polyphony)
 
+    from collections import deque
+
     rng = np.random.RandomState(seed)
     epoch = 0
     pool = ThreadPoolExecutor(max(num_workers, 1))
+    # Bounded in-flight window: pool.map would submit the whole epoch at
+    # once and decoded tracks (tens of MB each) would pile up with no
+    # backpressure; keep at most ~2x workers of decoded tracks alive.
+    window = 2 * max(num_workers, 1)
     try:
         while True:
             order = list(range(len(items)))
             if shuffle:
                 rng.shuffle(order)
-            for track in pool.map(lambda i: load(items[i]), order):
+            pending = deque()
+            it = iter(order)
+            for i in it:
+                pending.append(pool.submit(load, items[i]))
+                if len(pending) >= window:
+                    break
+            while pending:
+                track = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(load, items[nxt]))
                 if 'filename' not in track:
                     track = dict(track, filename=f'track_{epoch}')
                 yield track

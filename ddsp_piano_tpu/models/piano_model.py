@@ -117,10 +117,15 @@ class PianoModel:
             first_phase = (phase % 2) == 1
 
         def frozen_structural(slot, module) -> bool:
-            if isinstance(module, sm.NoteRelease):
-                return True
-            if isinstance(module, sm.Detuner):
-                return True  # zero-init untrainable dense layer
+            # Only *per-weight* freezes survive Keras' recursive trainable
+            # propagation in the reference; layer-level ones (Detuner's
+            # zero-init dense, NoteRelease's cell) are overwritten by
+            # alternate_training and DID train — the released dafx22
+            # checkpoint shows nonzero detuner weights and
+            # release_duration 1.1 -> 1.0. JointParametricInharmTuning is
+            # kept frozen when pretrained (the published-weights design;
+            # its gradient-through-oscillator optimization is documented
+            # unfeasible, sub_modules.py:768-777).
             if isinstance(module, sm.JointParametricInharmTuning):
                 return module.pretrained_weights is not None
             return False
@@ -166,9 +171,12 @@ class PianoModel:
                 continue
             mask[slot] = jax.tree.map(lambda _: trainable, p)
         if self.processor_group is not None:
+            # The reference's alternate_training never touches the
+            # processor group: trainable-processor parameters (e.g. the
+            # standalone FDN reverb of the ENSTDkCl configs) train in
+            # every phase.
             pg = params['processor_group']
-            trainable_pg = first_phase is None or first_phase
-            mask['processor_group'] = jax.tree.map(lambda _: trainable_pg, pg)
+            mask['processor_group'] = jax.tree.map(lambda _: True, pg)
         return mask
 
     # -- forward ------------------------------------------------------------

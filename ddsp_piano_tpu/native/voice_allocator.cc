@@ -103,7 +103,8 @@ void allocate_voices(const float* roll, int64_t n_frames, int n_synths,
       order[k] = k;
     }
     out_polyphony[t] = static_cast<float>(poly);
-    // Top-n pitches ascending (stable like np.argsort on ties).
+    // Top-n pitches ascending; stable sort matches the numpy
+    // implementation's argsort(kind='stable') tie order exactly.
     std::stable_sort(order.begin(), order.end(),
                      [&](int x, int y) { return pitched[x] < pitched[y]; });
     for (int i = 0; i < n; ++i) {

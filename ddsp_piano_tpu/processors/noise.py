@@ -181,7 +181,15 @@ def get_noise_bands(fb: FilterBank, min_noise_len: int, normalize: bool,
 
 
 class NoiseBandNetSynth(Processor):
-    """Looped noise bands x upsampled amplitudes (NoiseBandNet-style)."""
+    """Looped noise bands x upsampled amplitudes (NoiseBandNet-style).
+
+    Divergence from the reference (documented): amplitudes are resampled
+    once over the full length instead of per-noise_len chunk (reference
+    filtered_noise_synth.py:244-269 re-interpolates each chunk
+    independently, clamping at every chunk boundary — a memory workaround,
+    not a modeling choice). The global resample is smoother at chunk
+    boundaries and needs no Python loop; not used by any shipped config.
+    """
 
     def __init__(self, n_band: int = 64, upsampling: int = 64,
                  filterbank_attenuation: float = 50.0,

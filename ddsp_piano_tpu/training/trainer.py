@@ -134,7 +134,11 @@ class Trainer:
             return ({'params': params, 'opt_state': opt_state,
                      'step': state_tree['step'] + 1}, losses)
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        # No buffer donation: on a NaN loss the caller must still be able
+        # to save the *pre-step* state as crashed_iter (donation would have
+        # deleted it). The states here are a few MB, so donation buys
+        # nothing.
+        return jax.jit(train_step)
 
     def _build_eval_step(self):
         model = self.model
@@ -159,10 +163,8 @@ class Trainer:
         losses = {k: float(v) for k, v in losses.items()}
         for k, v in losses.items():
             if not np.isfinite(v):
-                # The input state was donated; report the post-step counter.
                 raise NanLossError(
-                    f"Nan loss at step {int(new_tree['step']) - 1} "
-                    f"with loss {k}")
+                    f"Nan loss at step {int(state.step)} with loss {k}")
         return TrainState.from_tree(new_tree), losses
 
     def validation_step(self, state: TrainState, batch,
