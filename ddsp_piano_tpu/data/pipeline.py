@@ -207,6 +207,18 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
     if use_cache:
         with open(cache_index) as f:
             meta = json.load(f)
+        # A cache preprocessed at different rates would silently misalign
+        # audio and conditioning; fail loudly instead.
+        wanted = {'sample_rate': sample_rate, 'frame_rate': frame_rate,
+                  'max_polyphony': max_polyphony}
+        mismatched = {k: (meta.get(k), v) for k, v in wanted.items()
+                      if meta.get(k) is not None and meta.get(k) != v}
+        if mismatched:
+            raise ValueError(
+                f"Preprocessed cache {cache_index!r} was built with "
+                f"{ {k: v[0] for k, v in mismatched.items()} } but the "
+                f"trainer requested { {k: v[1] for k, v in mismatched.items()} }"
+                f". Re-run preprocess_maestro.py with matching settings.")
         items = list(meta['tracks'])
         load = lambda name: dict(
             np.load(os.path.join(filename, name), allow_pickle=False))
@@ -252,8 +264,12 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
                 return
     finally:
         # Don't join worker threads from the generator finalizer (the
-        # interpreter may already be tearing down).
-        pool.shutdown(wait=False, cancel_futures=True)
+        # interpreter may already be tearing down and stdlib globals may
+        # be gone mid-shutdown).
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
 
 
 def get_dataset(filename: str,

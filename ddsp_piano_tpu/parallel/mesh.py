@@ -33,6 +33,17 @@ def get_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
 
 
+def get_mesh_for_batch(batch_size: int, n_devices: Optional[int] = None,
+                       axis_name: str = 'data') -> Mesh:
+    """Largest mesh whose size divides the batch (data-parallel sharding
+    requires batch % n_devices == 0; tf.distribute tolerated uneven splits,
+    GSPMD does not)."""
+    limit = n_devices if n_devices is not None else len(jax.devices())
+    limit = min(limit, len(jax.devices()))
+    n = max(d for d in range(1, limit + 1) if batch_size % d == 0)
+    return get_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
     """Shard axis 0 (batch) over the data axis."""
     return NamedSharding(mesh, P(axis_name))
@@ -49,6 +60,13 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     (data_pipeline.py:263-265).
     """
     sharding = batch_sharding(mesh, axis_name)
+    n = mesh.devices.size
+    for k, v in batch.items():
+        if hasattr(v, 'shape') and v.shape and v.shape[0] % n != 0:
+            raise ValueError(
+                f"Batch axis of {k!r} has size {v.shape[0]}, not divisible "
+                f"by the {n}-device mesh. Pick a divisible batch size or "
+                f"shrink the mesh (--n_devices / get_mesh_for_batch).")
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 

@@ -29,13 +29,33 @@ from ddsp_piano_tpu.models import sub_modules as sm
 
 
 def save_checkpoint(directory: str, state, step: int):
-    """Save a train-state pytree under directory/ckpt-<step>."""
+    """Save a train state under directory/ckpt-<step>.
+
+    Components are saved as independent orbax items (params / opt_state /
+    meta) so restore can take params without the optimizer state: the
+    optimizer pytree structure depends on the training phase's trainable
+    mask, and inference or cross-phase restores must not be coupled to it.
+    The optimizer state is stored as a flax state-dict (plain nested dicts)
+    so it round-trips through orbax independent of optax's namedtuples.
+    """
+    import json
+
     import orbax.checkpoint as ocp
+    from flax import serialization
+
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f'ckpt-{step}')
+    os.makedirs(path, exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(os.path.join(path, 'params'), state['params'],
+                   force=True)
+        if state.get('opt_state') is not None:
+            ckptr.save(os.path.join(path, 'opt_state'),
+                       serialization.to_state_dict(state['opt_state']),
+                       force=True)
+    with open(os.path.join(path, 'meta.json'), 'w') as f:
+        json.dump({'step': int(state.get('step', step))}, f)
     # Track the latest step like TF's 'checkpoint' index file.
     with open(os.path.join(directory, 'checkpoint'), 'w') as f:
         f.write(str(step))
@@ -62,9 +82,7 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     return os.path.join(directory, f'ckpt-{max(steps)}')
 
 
-def restore_checkpoint(path_or_dir: str, target):
-    """Restore a pytree saved by save_checkpoint (accepts dir or path)."""
-    import orbax.checkpoint as ocp
+def _resolve_ckpt_path(path_or_dir: str) -> str:
     path = path_or_dir
     if not os.path.basename(path).startswith('ckpt-'):
         found = latest_checkpoint(path)
@@ -72,9 +90,48 @@ def restore_checkpoint(path_or_dir: str, target):
             raise FileNotFoundError(
                 f"No checkpoint found under {path_or_dir!r}")
         path = found
-    path = os.path.abspath(path)
+    return os.path.abspath(path)
+
+
+def restore_checkpoint(path_or_dir: str, target):
+    """Restore {'params', 'opt_state'?, 'step'} saved by save_checkpoint.
+
+    Components restore independently: params always (against
+    target['params']); opt_state only when the target provides one AND the
+    stored structure matches (a phase switch changes the optax mask
+    structure — the caller reinitializes in that case); step from
+    meta.json. Returns a dict with 'opt_state' possibly None.
+    """
+    import json
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    path = _resolve_ckpt_path(path_or_dir)
+    out = {}
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path, item=target)
+        out['params'] = ckptr.restore(os.path.join(path, 'params'),
+                                      item=target['params'])
+        out['opt_state'] = None
+        opt_target = target.get('opt_state')
+        opt_path = os.path.join(path, 'opt_state')
+        if opt_target is not None and os.path.exists(opt_path):
+            stored = ckptr.restore(opt_path)
+            try:
+                out['opt_state'] = serialization.from_state_dict(
+                    opt_target, stored)
+            except Exception:
+                # Best-effort by design: a phase switch changes the optax
+                # mask structure and the stored moments don't apply.
+                out['opt_state'] = None
+    meta_path = os.path.join(path, 'meta.json')
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            out['step'] = jnp.asarray(json.load(f)['step'], jnp.int32)
+    else:
+        out['step'] = target.get('step')
+    return out
 
 
 # -----------------------------------------------------------------------------

@@ -189,6 +189,16 @@ class Trainer:
     def restore(self, state: TrainState, path_or_dir: str) -> TrainState:
         host_state = jax.tree.map(np.asarray, state.tree())
         restored = checkpoints.restore_checkpoint(path_or_dir, host_state)
+        if restored['opt_state'] is None:
+            # Cross-phase restore: the optimizer pytree depends on the
+            # phase's trainable mask, so a phase-1 checkpoint cannot carry
+            # its Adam state into a phase-2 trainer. Fresh moments match
+            # the reference recipe's behavior of newly-unfrozen modules.
+            import logging
+            logging.getLogger(__name__).warning(
+                "Optimizer state structure changed (training-phase switch?)"
+                " - reinitializing optimizer moments.")
+            restored['opt_state'] = self.optimizer.init(restored['params'])
         return self.distribute_state(TrainState.from_tree(restored))
 
     def restore_tf(self, state: TrainState, ckpt_path: str) -> TrainState:

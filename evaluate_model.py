@@ -54,7 +54,8 @@ def main(args):
     model = get_model(args.config, inference=True, duration=args.duration)
     params = model.init(jax.random.PRNGKey(0))
     params = restore_params(model, params, args.ckpt)
-    trainer = Trainer(model)
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+    trainer = Trainer(model, mesh=mesh_lib.get_mesh(1))  # batch_size is 1
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = trainer.state_with_params(state, params)
 

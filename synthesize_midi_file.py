@@ -11,7 +11,6 @@ on the accelerator and write the wav (plus an optional dry stem).
 import argparse
 import logging
 import os
-import sys
 
 logging.basicConfig(level=logging.INFO, format='%(message)s')
 

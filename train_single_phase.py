@@ -11,7 +11,6 @@ scalars/audio/spectrograms, and best/last/crashed/stopped checkpoints under
 import argparse
 import logging
 import os
-import sys
 
 osjoin = os.path.join
 logging.basicConfig(level=logging.INFO, format='%(message)s')
@@ -67,7 +66,7 @@ def main(args):
     first_phase = (args.phase % 2) == 1
 
     model = get_model(args.config, first_phase=first_phase)
-    mesh = mesh_lib.get_mesh(args.n_devices)
+    mesh = mesh_lib.get_mesh_for_batch(args.batch_size, args.n_devices)
     logging.info("Mesh: %d device(s), data-parallel", mesh.devices.size)
     trainer = Trainer(model, learning_rate=args.lr,
                       first_phase=first_phase, mesh=mesh)
