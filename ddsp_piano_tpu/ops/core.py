@@ -252,13 +252,19 @@ def upsample_with_windows(inputs: Array, n_timesteps: int,
 
 def resample(inputs: Array, n_timesteps: int, method: str = 'linear',
              add_endpoint: bool = True) -> Array:
-    """Resample along the time axis (axis 1), any of 1-D/2-D/3-D inputs.
+    """Resample along the time axis (axis 1), any of 1-D to 4-D inputs.
 
     Methods: 'nearest', 'linear' (legacy-bilinear coordinates), 'window'
     (overlapping Hann). Mirrors the reference API surface consumed at
     sub_modules.py:5 and inharm_synth.py:117-119.
     """
-    x, rank = _ensure_3d(f32(inputs))
+    inputs = f32(inputs)
+    if inputs.ndim == 4:
+        b, t, c1, c2 = inputs.shape
+        out = resample(inputs.reshape(b, t, c1 * c2), n_timesteps,
+                       method=method, add_endpoint=add_endpoint)
+        return out.reshape(b, n_timesteps, c1, c2)
+    x, rank = _ensure_3d(inputs)
     if method == 'nearest':
         out = nearest_resample(x, n_timesteps)
     elif method == 'linear':

@@ -154,3 +154,27 @@ def test_ops_jittable_and_differentiable():
 
     g = jax.grad(lambda x: fn(x))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_resample_rank4():
+    x = RNG.randn(2, 5, 3, 2).astype(np.float32)
+    out = core.resample(x, 20)
+    assert out.shape == (2, 20, 3, 2)
+    # Equivalent to resampling the flattened channel dims.
+    flat = core.resample(x.reshape(2, 5, 6), 20)
+    np.testing.assert_allclose(np.asarray(out).reshape(2, 20, 6),
+                               np.asarray(flat), rtol=1e-6)
+
+
+def test_exp_sigmoid_extreme_inputs_finite():
+    x = np.array([-1e4, -100.0, 0.0, 100.0, 1e4], np.float32)
+    y = np.asarray(core.exp_sigmoid(x))
+    assert np.isfinite(y).all()
+    assert y[0] >= 1e-7 and abs(y[-1] - 2.0) < 1e-4
+
+
+def test_angular_cumsum_short_sequence_no_pad_needed():
+    omega = RNG.rand(1, 7, 2).astype(np.float32)
+    out = core.angular_cumsum(omega, chunk_size=1000)
+    want = np.cumsum(omega, axis=1) % (2 * np.pi)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
