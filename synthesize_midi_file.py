@@ -45,6 +45,9 @@ def process_args(argv=None):
                              "for any file length).")
     parser.add_argument('--chunk_seconds', type=float, default=2.0,
                         help="Streaming chunk length (default: %(default)s)")
+    parser.add_argument('--device', choices=('auto', 'cpu'), default='auto',
+                        help="Force synthesis on CPU (useful on hosts "
+                             "without an accelerator).")
     parser.add_argument('midi_file', type=str,
                         help="Piano MIDI file to synthesize.")
     parser.add_argument('out_file', type=str,
@@ -80,6 +83,11 @@ def restore_params(model, params, ckpt):
 
 def main(args):
     import jax
+
+    if getattr(args, 'device', 'auto') == 'cpu':
+        # Must happen before the first backend use (some accelerator
+        # plugins override JAX_PLATFORMS).
+        jax.config.update('jax_platforms', 'cpu')
 
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()

@@ -37,3 +37,22 @@ def test_config_trainable_mask(name):
     for phase in (1, 2):
         mask = model.trainable_mask(params, phase=phase)
         assert jax.tree.structure(mask) == jax.tree.structure(params)
+
+
+def test_stretch_config_48khz_polyphony32():
+    """Stretch target: dafx22 scaled to 48 kHz / 32-voice polyphony trains
+    (config overrides are first-class, no fixed-size assumptions)."""
+    import numpy as np
+
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+    from ddsp_piano_tpu.training.trainer import Trainer
+
+    model = get_model('dafx22', duration=0.2, sample_rate=48000,
+                      n_synths=32, n_harmonics=160, n_noise_bands=128)
+    assert model.sample_rate == 48000 and model.n_synths == 32
+    trainer = Trainer(model, mesh=mesh_lib.get_mesh(1))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = get_dummy_data(batch_size=1, duration=0.2, sample_rate=48000,
+                           n_synths=32)
+    state, losses = trainer.train_step(state, batch)
+    assert np.isfinite(losses['total_loss'])
