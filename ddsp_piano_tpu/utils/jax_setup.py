@@ -44,3 +44,22 @@ def profile_trace(logdir: str = '/tmp/ddsp_piano_tpu_profile'):
             jax.profiler.stop_trace()
 
     return _trace()
+
+
+def collect_garbage():
+    """API-parity counterpart of the reference's collect_garbage
+    (io_utils.py:256-259: gc + Keras session reset). JAX holds no
+    per-epoch graph state, so only host garbage collection applies; jit
+    caches are intentionally kept (clearing them would recompile every
+    epoch)."""
+    import gc
+
+    gc.collect()
+
+
+def enable_debug_nans():
+    """Trap NaNs at the op level (jax_debug_nans): heavier than the
+    trainer's per-step loss guard, but pinpoints the producing op."""
+    import jax
+
+    jax.config.update('jax_debug_nans', True)

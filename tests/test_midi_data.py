@@ -247,3 +247,50 @@ class TestNativeAllocator:
         want_c, want_p = MIDIRoll2Conditioning(4)(roll.copy())
         got_c, got_p = native.allocate_voices(roll, 4)
         np.testing.assert_array_equal(got_c, want_c)
+
+
+class TestJaxAllocator:
+    """jit-able lax.scan voice allocator vs the numpy semantic reference."""
+
+    def _random_roll(self, seed, n_frames=150, density=None):
+        rng = np.random.RandomState(seed)
+        roll = np.zeros((n_frames, 88, 2), np.float32)
+        density = density or rng.randint(10, 60)
+        for _ in range(density):
+            p = rng.randint(0, 88)
+            s = rng.randint(0, n_frames - 5)
+            e = s + rng.randint(1, 40)
+            roll[s:e, p, 0] = 1.0
+            roll[s, p, 1] = rng.rand()
+        return roll
+
+    def test_exact_match_within_capacity(self):
+        import jax
+        from ddsp_piano_tpu.data.midi_encoders_jax import (
+            roll_to_conditioning_jax)
+        fn = jax.jit(roll_to_conditioning_jax, static_argnums=1)
+        checked = 0
+        for seed in range(12):
+            roll = self._random_roll(seed)
+            for n in (4, 16):
+                want_c, want_p = MIDIRoll2Conditioning(n)(roll.copy())
+                if (want_p > n).any():
+                    continue
+                got_c, got_p = fn(roll, n)
+                np.testing.assert_array_equal(np.asarray(got_c), want_c)
+                np.testing.assert_array_equal(np.asarray(got_p), want_p)
+                checked += 1
+        assert checked >= 8
+
+    def test_overflow_yields_valid_topn_permutation(self):
+        import jax
+        from ddsp_piano_tpu.data.midi_encoders_jax import (
+            roll_to_conditioning_jax)
+        roll = self._random_roll(7, density=90)
+        want_c, want_p = MIDIRoll2Conditioning(4)(roll.copy())
+        assert (want_p > 4).any()
+        got_c, _ = jax.jit(roll_to_conditioning_jax, static_argnums=1)(
+            roll, 4)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got_c)[..., 0], axis=-1),
+            np.sort(want_c[..., 0], axis=-1))

@@ -39,6 +39,9 @@ def process_args(argv=None):
     parser.add_argument('--val_path', type=str, default=None,
                         help="Path to the validation data (if different "
                              "from maestro_path).")
+    parser.add_argument('--debug_nans', action='store_true',
+                        help="Trap NaNs at the op level (slower; the "
+                             "per-step loss guard is always on).")
     parser.add_argument('--n_devices', type=int, default=None,
                         help="Devices in the data-parallel mesh "
                              "(default: all).")
@@ -55,6 +58,9 @@ def main(args):
 
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
+    if args.debug_nans:
+        from ddsp_piano_tpu.utils.jax_setup import enable_debug_nans
+        enable_debug_nans()
     import numpy as np
 
     from ddsp_piano_tpu.configs import get_model
