@@ -141,3 +141,37 @@ class TestStreaming:
         # Same carried-state math; rng folding differs per chunk for the
         # (near-silent) noise, so allow a small absolute budget.
         np.testing.assert_allclose(scanned, looped, atol=0.02 * scale)
+
+
+class TestServing:
+    def test_one_jit_serving_graph(self):
+        """Raw pianoroll -> audio fully on device == host-allocated path."""
+        from ddsp_piano_tpu.data.midi_encoders import MIDIRoll2Conditioning
+        from ddsp_piano_tpu.models.serving import make_serving_fn
+
+        model = build_streamable_model(duration=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        serve = make_serving_fn(model, params)
+
+        roll = np.zeros((1, 250, 88, 2), np.float32)
+        roll[0, 30:180, 60 - 21, 0] = 1.0
+        roll[0, 30:38, 60 - 21, 1] = 0.7
+        roll[0, 90:200, 67 - 21, 0] = 1.0
+        roll[0, 90:98, 67 - 21, 1] = 0.6
+        pedal = np.zeros((1, 250, 4), np.float32)
+        piano = np.zeros((1, 1), np.int32)
+
+        audio = np.asarray(serve(jnp.asarray(roll), jnp.asarray(pedal),
+                                 jnp.asarray(piano)))
+        assert audio.shape == (1, 16000)
+        assert np.isfinite(audio).all()
+
+        # Same result through the host allocator path.
+        cond, _ = MIDIRoll2Conditioning(4)(roll[0].copy())
+        feats = {'conditioning': jnp.asarray(cond[None]),
+                 'pedal': jnp.asarray(pedal),
+                 'piano_model': jnp.asarray(piano)}
+        want = np.asarray(jax.jit(
+            lambda p, f: model(p, f, rng=jax.random.PRNGKey(0))
+        )(params, feats)['audio_synth'])
+        np.testing.assert_allclose(audio, want, atol=1e-4)
