@@ -175,3 +175,63 @@ class TestServing:
             lambda p, f: model(p, f, rng=jax.random.PRNGKey(0))
         )(params, feats)['audio_synth'])
         np.testing.assert_allclose(audio, want, atol=1e-4)
+
+
+def build_film_streamable_model(n_synths=4, sample_rate=16000,
+                                frame_rate=250):
+    """v2-style model (FiLM context + deep mono net, per-step LayerNorm)
+    — streams exactly."""
+    group = VectorizedPolyphonicProcessorGroup(
+        additive=processors.MultiInharmonic(
+            name='additive', frame_rate=frame_rate, sample_rate=sample_rate),
+        noise=processors.DynamicSizeFilteredNoise(
+            name='noise', frame_rate=frame_rate, sample_rate=sample_rate,
+            initial_bias=-25.0),
+        reverb=processors.Reverb(trainable=False),
+        additive_controls=('amplitudes', 'harmonic_distribution',
+                           'inharm_coef', 'f0_hz'),
+        noise_controls=('magnitudes',),
+        reverb_controls=('reverb_ir',),
+        n_synths=n_synths)
+    return PianoModel(
+        note_release=sm.NoteRelease(frame_rate=frame_rate),
+        context_network=sm.FiLMContextNetwork(n_instruments=4,
+                                              n_synths=n_synths,
+                                              layer_dim=32, context_dim=16),
+        parallelizer=Parallelizer(
+            n_synths=n_synths,
+            global_keys=('conditioning', 'context', 'piano_model')),
+        monophonic_network=sm.MonophonicDeepNetwork(
+            rnn_channels=48, ch=24, layers_per_stack=2, context_dim=16,
+            output_splits=(('amplitudes', 1),
+                           ('harmonic_distribution', 12),
+                           ('magnitudes', 13))),
+        inharm_model=sm.JointParametricInharmTuning(
+            n_instruments=4,
+            pretrained_weights={
+                k: v[:4] for k, v in __import__(
+                    'ddsp_piano_tpu.configs.maestro_v2',
+                    fromlist=['V2_TUNING_WEIGHTS']
+                ).V2_TUNING_WEIGHTS.items()}),
+        reverb_model=sm.MultiInstrumentReverb(n_instruments=4,
+                                              reverb_duration=0.25,
+                                              sample_rate=sample_rate),
+        processor_group=group)
+
+
+class TestFilmStreaming:
+    def test_v2_style_streams_exactly(self):
+        model = build_film_streamable_model()
+        params = model.init(jax.random.PRNGKey(3))
+        feats = _features()
+        one_shot = np.asarray(jax.jit(
+            lambda p, f: model(p, f, rng=jax.random.PRNGKey(0))
+        )(params, feats)['audio_synth'])
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        streamed = streamer.synthesize(params, feats,
+                                       rng=jax.random.PRNGKey(0))
+        up = one_shot.shape[-1] // feats['conditioning'].shape[1]
+        a, b = one_shot[:, :-up], streamed[:, :-up]
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=0.02 * scale)
+        assert np.corrcoef(a[0], b[0])[0, 1] > 0.999
