@@ -87,3 +87,23 @@ def test_gin_dafx22_matches_python_config_structure():
     assert gs == ps
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(pp)):
         assert a.shape == b.shape
+
+
+@needs_ref
+def test_gin_dafx22_forward_matches_python_config():
+    """gin-built and Python-built dafx22 agree numerically with the same
+    parameters and inputs."""
+    from ddsp_piano_tpu.configs import get_model
+    gin_model = gin_compat.build_from_gin(
+        os.path.join(REF_CONFIG_DIR, 'dafx22.gin'), duration=0.5)
+    py_model = get_model('dafx22', duration=0.5)
+    params = py_model.init(jax.random.PRNGKey(0))
+    feats = {k: jnp.asarray(v)
+             for k, v in get_dummy_data(batch_size=1, duration=0.5,
+                                        sample_rate=16000).items()}
+    rng = jax.random.PRNGKey(5)
+    a = jax.jit(lambda p, f: gin_model(p, f, rng=rng)['audio_synth'])(
+        params, feats)
+    b = jax.jit(lambda p, f: py_model(p, f, rng=rng)['audio_synth'])(
+        params, feats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

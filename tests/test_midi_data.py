@@ -294,3 +294,34 @@ class TestJaxAllocator:
         np.testing.assert_array_equal(
             np.sort(np.asarray(got_c)[..., 0], axis=-1),
             np.sort(want_c[..., 0], axis=-1))
+
+
+class TestMidiParserRobustness:
+    def test_truncated_file_raises_cleanly(self, tmp_path):
+        notes, ccs = _simple_sequence()
+        path = str(tmp_path / "t.mid")
+        midi.write_midi(path, notes, ccs)
+        data = open(path, 'rb').read()
+        for cut in (3, 10, len(data) // 2):
+            with pytest.raises((ValueError, Exception)):
+                midi.parse_midi_bytes(data[:cut])
+
+    def test_not_a_midi_file(self):
+        with pytest.raises(ValueError):
+            midi.parse_midi_bytes(b'RIFFxxxxWAVE' + b'\x00' * 64)
+
+    def test_empty_sequence(self):
+        seq = midi.MidiSequence([], [], 0.0)
+        roll = midi.sequence_to_pianoroll(seq, 250)
+        assert roll.active.shape[1] == 88
+        out = midi.apply_sustain_control_changes(seq)
+        assert out.notes == []
+
+    def test_running_status_and_format0(self, tmp_path):
+        """Our writer emits format 0 with running-status-free events; the
+        parser handles both paths (the roundtrip already covers parsing)."""
+        path = str(tmp_path / "r.mid")
+        midi.write_midi(path, [midi.Note(60, 100, 0.0, 0.5),
+                               midi.Note(62, 90, 0.5, 1.0)])
+        seq = midi.parse_midi(path)
+        assert [n.pitch for n in seq.notes] == [60, 62]
