@@ -235,3 +235,57 @@ class TestFilmStreaming:
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, atol=0.02 * scale)
         assert np.corrcoef(a[0], b[0])[0, 1] > 0.999
+
+
+class TestFdnStreaming:
+    def test_trainable_fdn_reverb_streams(self):
+        """ENSTDkCl-style standalone FDN reverb in the streaming engine:
+        the 2*sr-long IR (longer than a chunk) carries across chunks."""
+        sr, fr, n = 4000, 250, 2
+        group = VectorizedPolyphonicProcessorGroup(
+            additive=processors.MultiInharmonic(
+                name='additive', frame_rate=fr, sample_rate=sr),
+            noise=processors.DynamicSizeFilteredNoise(
+                name='noise', frame_rate=fr, sample_rate=sr,
+                initial_bias=-25.0),
+            reverb=processors.FeedbackDelayNetwork(
+                trainable=True, delay_lines=4, sampling_rate=sr),
+            additive_controls=('amplitudes', 'harmonic_distribution',
+                               'inharm_coef', 'f0_hz'),
+            noise_controls=('magnitudes',),
+            reverb_controls=(),
+            n_synths=n)
+        model = PianoModel(
+            note_release=sm.NoteRelease(frame_rate=fr),
+            context_network=sm.SimpleContextNet(
+                layers=[nn.Dense(16, 4, activation='leaky_relu'),
+                        nn.GRU(16, 16)],
+                out_features=16, output_splits=(('context', 8),)),
+            parallelizer=Parallelizer(
+                n_synths=n, global_keys=('conditioning', 'context')),
+            monophonic_network=sm.MonophonicNetwork(
+                layers=[nn.Dense(24, 11, activation='leaky_relu'),
+                        nn.GRU(24, 24)],
+                out_features=24,
+                output_splits=(('amplitudes', 1),
+                               ('harmonic_distribution', 6),
+                               ('magnitudes', 7))),
+            inharm_model=sm.ParametricTuning(),
+            processor_group=group)
+        params = model.init(jax.random.PRNGKey(0))
+        cond = np.zeros((1, 500, n, 2), np.float32)
+        cond[:, 20:300, 0, 0] = 60.0
+        cond[:, 20:28, 0, 1] = 0.8
+        feats = {'conditioning': jnp.asarray(cond),
+                 'pedal': jnp.zeros((1, 500, 4)),
+                 'piano_model': jnp.zeros((1, 1), jnp.int32)}
+        one_shot = np.asarray(jax.jit(
+            lambda p, f: model(p, f, rng=jax.random.PRNGKey(0))
+        )(params, feats)['audio_synth'])
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        streamed = streamer.synthesize(params, feats,
+                                       rng=jax.random.PRNGKey(0))
+        up = one_shot.shape[-1] // 500
+        a, b = one_shot[:, :-up], streamed[:, :-up]
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=0.03 * scale)
