@@ -31,8 +31,11 @@ def make_serving_fn(model, params, seed: int = 0):
     n_synths = model.n_synths
     rng = jax.random.PRNGKey(seed)
 
+    # Params are a jit *argument*, not a closure capture: baking weights in
+    # as constants would bloat the compiled executable and force a full
+    # recompile on every checkpoint refresh.
     @jax.jit
-    def serve(roll: jax.Array, pedal: jax.Array,
+    def serve(params, roll: jax.Array, pedal: jax.Array,
               piano_model: jax.Array) -> jax.Array:
         # vmap over the batch: conditioning comes out (b, T, n_synths, 2).
         conditioning, _ = jax.vmap(
@@ -45,4 +48,8 @@ def make_serving_fn(model, params, seed: int = 0):
         outs = model(params, features, rng=rng)
         return outs['audio_synth']
 
-    return serve
+    def serve_bound(roll, pedal, piano_model, params=params):
+        """Serve with the given (or default) params; donate nothing."""
+        return serve(params, roll, pedal, piano_model)
+
+    return serve_bound

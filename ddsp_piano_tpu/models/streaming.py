@@ -61,7 +61,7 @@ class StreamingSynthesizer:
         self.model = model
         self.chunk_frames = chunk_frames
         self._chunk_fn = jax.jit(self._chunk_forward)
-        self._scan_fn = None
+        self._scan_fns: Dict[int, Any] = {}  # keyed by n_chunks
 
     # ------------------------------------------------------------------
 
@@ -221,19 +221,10 @@ class StreamingSynthesizer:
         add_params = {}
         controls = group.additive.get_controls(
             add_params, *[windowed[k] for k in add_ctrl_keys])
-        # Build folded-substring frequencies/amps like MultiInharmonic.
-        f0 = controls['f0_hz']
-        n_sub = f0.shape[-1]
-        dist = controls['harmonic_distribution']
-        n_harm = dist.shape[-1]
-        shift_mul = 1.0 + controls['harmonic_shifts']
-        k_idx = jnp.linspace(1.0, float(n_harm), n_harm, dtype=jnp.float32)
-        bsz, n_f1 = f0.shape[0], f0.shape[1]
-        freqs = (f0[..., :, None] * k_idx * shift_mul[..., None, :]
-                 ).reshape(bsz, n_f1, n_sub * n_harm)
-        amps = (controls['amplitudes'] * dist)[..., None, :]
-        amps = jnp.broadcast_to(amps, (bsz, n_f1, n_sub, n_harm)
-                                ).reshape(bsz, n_f1, n_sub * n_harm)
+        # Fold substrings exactly as the one-shot render does.
+        freqs, amps = group.additive.fold_substrings(
+            controls['amplitudes'], controls['harmonic_distribution'],
+            controls['harmonic_shifts'], controls['f0_hz'])
         osc_controls = oscillator.framewise_osc_controls(
             freqs, amps, up, sample_rate,
             initial_phase=state.get('osc_phase'), lookahead=True)
@@ -257,6 +248,15 @@ class StreamingSynthesizer:
         n_samples = sig_add.shape[-1]
         mix = (sig_add + sig_noise).reshape(n_synths, batch,
                                             n_samples).sum(axis=0)
+        if first is not None:
+            # Scan mode: the first chunk's leading frame is a duplicate of
+            # frame 0 whose dry samples the driver drops — silence it here
+            # too so it cannot leak a reverb pre-echo into the wet path or
+            # the carried tail.
+            keep = jnp.concatenate(
+                [jnp.full((up,), 1.0 - first),
+                 jnp.ones((n_samples - up,), jnp.float32)])
+            mix = mix * keep
 
         # Reverb with carried tail.
         audio = mix
@@ -317,10 +317,10 @@ class StreamingSynthesizer:
         """Render a full-length features dict chunk by chunk.
 
         features: conditioning (1, T, n_synths, 2), pedal (1, T, 4),
-        piano_model (1, 1). Returns (1, T * up) audio. The rendered audio
-        is delayed by one frame relative to the one-shot forward (the
-        lookahead protocol); the final frame is flushed with a clamped
-        endpoint.
+        piano_model (1, 1). Returns (1, T * up) audio, sample-aligned with
+        the one-shot forward (the one-frame control lookahead is internal
+        to the chunk protocol; it does not delay the output). The final
+        frame is flushed with a clamped interpolation endpoint.
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -427,6 +427,9 @@ class StreamingSynthesizer:
             return jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
                                    axis=1)
 
-        if self._scan_fn is None:
-            self._scan_fn = jax.jit(run)
-        return np.asarray(self._scan_fn(params, features, rng))
+        # `run` closes over n_chunks (the scan length), so the compiled fn
+        # must be cached per chunk count — a single cached jit would replay
+        # the first call's length on every later file.
+        if n_chunks not in self._scan_fns:
+            self._scan_fns[n_chunks] = jax.jit(run)
+        return np.asarray(self._scan_fns[n_chunks](params, features, rng))

@@ -62,7 +62,12 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
     sharding = batch_sharding(mesh, axis_name)
     n = mesh.devices.size
     for k, v in batch.items():
-        if hasattr(v, 'shape') and v.shape and v.shape[0] % n != 0:
+        if not hasattr(v, 'shape') or not v.shape:
+            raise ValueError(
+                f"Batch entry {k!r} is a scalar / 0-d value and cannot be "
+                f"sharded along a batch axis. Broadcast it to shape "
+                f"(batch, ...) or keep it out of the sharded batch dict.")
+        if v.shape[0] % n != 0:
             raise ValueError(
                 f"Batch axis of {k!r} has size {v.shape[0]}, not divisible "
                 f"by the {n}-device mesh. Pick a divisible batch size or "

@@ -133,20 +133,31 @@ class MultiInharmonic(InHarmonic):
             f0_hz.shape[-1])
         return controls
 
-    def get_signal(self, params, amplitudes, harmonic_distribution,
-                   harmonic_shifts, f0_hz, rng=None, **_):
+    @staticmethod
+    def fold_substrings(amplitudes, harmonic_distribution, harmonic_shifts,
+                        f0_hz):
+        """Fold per-substring partials into one oscillator axis.
+
+        Returns (freqs, amps), each (b, t, n_substrings * n_harmonics) —
+        the shared representation for both one-shot and streaming renders.
+        """
         b, n_frames, n_sub = f0_hz.shape
         n_harm = harmonic_distribution.shape[-1]
-        up = self.upsampling
-        n_samples = up * n_frames
-        # Fold substrings into the partial axis: (b, t, n_sub * n_harm).
         k = jnp.linspace(1.0, float(n_harm), n_harm, dtype=jnp.float32)
         shift_mul = (1.0 + harmonic_shifts)                  # (b, t, K)
-        freqs = (f0_hz[..., :, jnp.newaxis] * k * shift_mul[..., jnp.newaxis, :]
+        freqs = (f0_hz[..., :, jnp.newaxis] * k
+                 * shift_mul[..., jnp.newaxis, :]
                  ).reshape(b, n_frames, n_sub * n_harm)
         amps = (amplitudes * harmonic_distribution)[..., jnp.newaxis, :]
         amps = jnp.broadcast_to(amps, (b, n_frames, n_sub, n_harm)
                                 ).reshape(b, n_frames, n_sub * n_harm)
+        return freqs, amps
+
+    def get_signal(self, params, amplitudes, harmonic_distribution,
+                   harmonic_shifts, f0_hz, rng=None, **_):
+        up = self.upsampling
+        freqs, amps = self.fold_substrings(amplitudes, harmonic_distribution,
+                                           harmonic_shifts, f0_hz)
         controls = oscillator.framewise_osc_controls(
             freqs, amps, up, self.sample_rate)
         return oscillator.render_framewise(controls, up, self.sample_rate)

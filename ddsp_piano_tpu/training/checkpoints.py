@@ -12,6 +12,7 @@ reader; it never touches the jit path.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -121,9 +122,14 @@ def restore_checkpoint(path_or_dir: str, target):
             try:
                 out['opt_state'] = serialization.from_state_dict(
                     opt_target, stored)
-            except Exception:
+            except Exception as e:
                 # Best-effort by design: a phase switch changes the optax
-                # mask structure and the stored moments don't apply.
+                # mask structure and the stored moments don't apply. Never
+                # silent — losing Adam moments changes training dynamics.
+                logging.warning(
+                    "Stored opt_state does not match the current optimizer "
+                    "structure (%s); optimizer moments will be "
+                    "re-initialized.", e)
                 out['opt_state'] = None
     meta_path = os.path.join(path, 'meta.json')
     if os.path.exists(meta_path):
@@ -282,9 +288,14 @@ def _submodule_tf_paths(slot: str, module, params
     return pairs
 
 
-def tf_name_map(model) -> Dict[str, Tuple[str, Tuple]]:
-    """TF variable name -> (slot, param path within slot) for a PianoModel."""
-    params = model.init(jax.random.PRNGKey(0))
+def tf_name_map(model, params=None) -> Dict[str, Tuple[str, Tuple]]:
+    """TF variable name -> (slot, param path within slot) for a PianoModel.
+
+    Pass `params` when you already have an initialized tree — the map only
+    needs its *structure*, so this avoids a redundant model.init.
+    """
+    if params is None:
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0))
     mapping = {}
     for slot, module in model._module_slots():
         for path, tf_rel in _submodule_tf_paths(slot, module, params[slot]):
@@ -315,7 +326,7 @@ def import_tf_weights(model, params, ckpt_path: str,
     raises.
     """
     tf_vars = read_tf_checkpoint(ckpt_path)
-    mapping = tf_name_map(model)
+    mapping = tf_name_map(model, params)
     new_params = jax.tree.map(lambda x: x, params)  # deep copy structure
 
     matched, missing, mismatched = [], [], []

@@ -142,6 +142,27 @@ class TestStreaming:
         # (near-silent) noise, so allow a small absolute budget.
         np.testing.assert_allclose(scanned, looped, atol=0.02 * scale)
 
+    def test_scanned_handles_multiple_lengths(self, setup):
+        """One streamer renders files of different lengths correctly (the
+        compiled scan must be cached per chunk count, not once)."""
+        model, params, feats = setup
+        streamer = StreamingSynthesizer(model, chunk_frames=125)
+        long = streamer.synthesize_scanned(params, feats,
+                                           rng=jax.random.PRNGKey(0))
+        short_feats = {
+            'conditioning': feats['conditioning'][:, :250],
+            'pedal': feats['pedal'][:, :250],
+            'piano_model': feats['piano_model'],
+        }
+        short = streamer.synthesize_scanned(params, short_feats,
+                                            rng=jax.random.PRNGKey(0))
+        up = long.shape[-1] // feats['conditioning'].shape[1]
+        assert short.shape == (1, 250 * up)
+        # Prefixes agree except near the short render's flushed tail.
+        scale = max(np.abs(long).max(), 1e-6)
+        np.testing.assert_allclose(short[:, :-up], long[:, :249 * up],
+                                   atol=0.02 * scale)
+
 
 class TestServing:
     def test_one_jit_serving_graph(self):

@@ -91,3 +91,15 @@ def test_nan_guard(setup):
     bad['audio'] = np.full_like(batch['audio'], np.nan)
     with pytest.raises(NanLossError):
         trainer.train_step(state, bad)
+
+
+def test_shard_batch_rejects_scalars_and_indivisible():
+    mesh = mesh_lib.get_mesh(4)
+    good = {'x': np.zeros((4, 3), np.float32)}
+    out = mesh_lib.shard_batch(good, mesh)
+    assert out['x'].shape == (4, 3)
+    with pytest.raises(ValueError, match='scalar'):
+        mesh_lib.shard_batch({'x': np.zeros((4, 3), np.float32),
+                              'step': np.float32(1.0)}, mesh)
+    with pytest.raises(ValueError, match='not divisible'):
+        mesh_lib.shard_batch({'x': np.zeros((6, 3), np.float32)}, mesh)
