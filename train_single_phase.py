@@ -39,6 +39,11 @@ def process_args(argv=None):
     parser.add_argument('--val_path', type=str, default=None,
                         help="Path to the validation data (if different "
                              "from maestro_path).")
+    parser.add_argument('--profile', type=int, default=0, metavar='N',
+                        help="Capture a jax.profiler trace of N training "
+                             "steps into <exp_dir>/profile (view with "
+                             "TensorBoard's profile plugin), then continue "
+                             "training normally.")
     parser.add_argument('--debug_nans', action='store_true',
                         help="Trap NaNs at the op level (slower; the "
                              "per-step loss guard is always on).")
@@ -94,6 +99,17 @@ def main(args):
     for sub in ('logs', 'last_iter', 'best_iter'):
         os.makedirs(osjoin(exp_dir, sub), exist_ok=True)
     writer = summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
+
+    if args.profile > 0:
+        # Tracing hook (SURVEY §5: the reference has none): capture the
+        # steady-state step, so run one untraced step first to compile.
+        from ddsp_piano_tpu.utils.jax_setup import profile_trace
+        state, _ = trainer.train_step(state, next(train_iterator))
+        with profile_trace(osjoin(exp_dir, 'profile')) as logdir:
+            for _ in range(args.profile):
+                state, _ = trainer.train_step(state, next(train_iterator))
+        logging.info("Profiler trace (%d steps) written to %s",
+                     args.profile, logdir)
 
     lowest_val_loss = float('inf')
     loss_keys = model.loss_keys()
