@@ -10,8 +10,10 @@ Functional equivalent of the ddsp Trainer surface the reference consumes
   the step itself),
 - phase-alternating trainability as an optax mask from
   PianoModel.trainable_mask,
-- NaN guard on losses every step (reference train_single_phase.py:185-187),
-  raising NanLossError so the driver can save a 'crashed_iter' checkpoint.
+- NaN guard on losses (reference train_single_phase.py:185-187), checked
+  with a one-step delay so the host never blocks on the in-flight step
+  (async dispatch keeps the device pipeline full); NanLossError carries
+  the last finite state for the 'crashed_iter' checkpoint.
 """
 
 from __future__ import annotations
@@ -29,7 +31,15 @@ from ddsp_piano_tpu.training import checkpoints
 
 
 class NanLossError(RuntimeError):
-    """A training loss became non-finite."""
+    """A training loss became non-finite.
+
+    `state` carries the last finite TrainState (the parameters *before*
+    the step that produced the NaN) so the caller can checkpoint it.
+    """
+
+    def __init__(self, message: str, state=None):
+        super().__init__(message)
+        self.state = state
 
 
 @dataclasses.dataclass
@@ -65,6 +75,10 @@ class Trainer:
         self.mesh = mesh if mesh is not None else mesh_lib.get_mesh()
         self._train_step = None
         self._eval_step = None
+        # Delayed NaN guard: (losses, pre-step state, step index) of the
+        # most recent step, checked on the NEXT call so the host never
+        # blocks on the in-flight step (keeps the device pipeline full).
+        self._pending_guard = None
 
     # -- state --------------------------------------------------------------
 
@@ -149,27 +163,51 @@ class Trainer:
 
         return jax.jit(eval_step)
 
+    def check_pending(self):
+        """Flush the delayed NaN guard: materialize the most recent step's
+        losses and raise NanLossError (carrying the last finite state) if
+        any is non-finite. Called automatically by train_step (for the
+        previous step), validation_step, and save."""
+        if self._pending_guard is None:
+            return
+        losses, pre_state = self._pending_guard
+        self._pending_guard = None
+        vals = jax.device_get(losses)
+        for k, v in vals.items():
+            if not np.all(np.isfinite(v)):
+                raise NanLossError(
+                    f"Nan loss at step {int(pre_state.step)} with loss {k}",
+                    state=pre_state)
+
     def train_step(self, state: TrainState, batch,
                    rng: Optional[jax.Array] = None
-                   ) -> Tuple[TrainState, Dict[str, float]]:
-        """One optimization step; raises NanLossError on non-finite loss."""
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """One optimization step.
+
+        The NaN guard (reference train_single_phase.py:185-187) is checked
+        with a one-step delay: blocking on the current step's loss every
+        call would stall JAX's async dispatch and serialize host and
+        device. Training still halts within one step of a non-finite loss
+        and the raised NanLossError carries the last finite state for the
+        crashed_iter checkpoint. Returned losses are device scalars;
+        convert with float() only when needed (each conversion syncs).
+        """
         if self._train_step is None:
             self._train_step = self._build_train_step()
         if rng is None:
-            rng = jax.random.fold_in(jax.random.PRNGKey(17),
-                                     int(state.step))
+            # fold_in with the device step scalar: stays async (an int()
+            # here would block on the previous step every call).
+            rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
         batch = self.distribute_batch(batch)
         new_tree, losses = self._train_step(state.tree(), batch, rng)
-        losses = {k: float(v) for k, v in losses.items()}
-        for k, v in losses.items():
-            if not np.isfinite(v):
-                raise NanLossError(
-                    f"Nan loss at step {int(state.step)} with loss {k}")
+        self.check_pending()   # previous step has finished by now: free
+        self._pending_guard = (losses, state)
         return TrainState.from_tree(new_tree), losses
 
     def validation_step(self, state: TrainState, batch,
                         rng: Optional[jax.Array] = None):
         """Losses + synthesized audio without updating parameters."""
+        self.check_pending()
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         if rng is None:
@@ -182,6 +220,10 @@ class Trainer:
     # -- checkpoints --------------------------------------------------------
 
     def save(self, state: TrainState, directory: str):
+        # Flush the delayed NaN guard first: never write an unchecked
+        # (possibly NaN) state to disk. Raises before touching the files;
+        # the raised error carries the last finite state to save instead.
+        self.check_pending()
         host_state = jax.tree.map(np.asarray, state.tree())
         return checkpoints.save_checkpoint(directory, host_state,
                                            step=int(state.step))

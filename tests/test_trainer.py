@@ -86,11 +86,30 @@ def test_checkpoint_roundtrip(tmp_path, setup):
 
 
 def test_nan_guard(setup):
+    """The delayed guard halts within one step and hands back the last
+    finite state for the crashed_iter checkpoint."""
     model, trainer, state, batch = setup
     bad = dict(batch)
     bad['audio'] = np.full_like(batch['audio'], np.nan)
+    state2, _ = trainer.train_step(state, bad)  # guard checked next call
+    with pytest.raises(NanLossError) as exc_info:
+        trainer.check_pending()
+    good = exc_info.value.state
+    assert good is not None
+    for leaf in jax.tree.leaves(good.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_nan_guard_blocks_save(setup, tmp_path):
+    """save() flushes the pending guard so a NaN state never hits disk."""
+    model, trainer, state, batch = setup
+    bad = dict(batch)
+    bad['audio'] = np.full_like(batch['audio'], np.nan)
+    state2, _ = trainer.train_step(state, bad)
     with pytest.raises(NanLossError):
-        trainer.train_step(state, bad)
+        trainer.save(state2, str(tmp_path))
+    import os
+    assert not os.path.exists(os.path.join(str(tmp_path), 'checkpoint'))
 
 
 def test_shard_batch_rejects_scalars_and_indivisible():

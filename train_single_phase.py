@@ -181,10 +181,18 @@ def main(args):
             writer.flush()
 
     except NanLossError as e:
-        trainer.save(state, osjoin(exp_dir, 'crashed_iter'))
+        # e.state is the last finite state (the NaN guard is checked with
+        # a one-step delay; the loop-local `state` may already hold the
+        # post-NaN parameters).
+        trainer.save(e.state if e.state is not None else state,
+                     osjoin(exp_dir, 'crashed_iter'))
         logging.error("%s", e)
     except KeyboardInterrupt:
-        trainer.save(state, osjoin(exp_dir, 'stopped_iter'))
+        try:
+            trainer.save(state, osjoin(exp_dir, 'stopped_iter'))
+        except NanLossError as e:
+            trainer.save(e.state, osjoin(exp_dir, 'crashed_iter'))
+            logging.error("%s", e)
 
 
 if __name__ == '__main__':
