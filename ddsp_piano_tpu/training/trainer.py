@@ -205,8 +205,13 @@ class Trainer:
         return TrainState.from_tree(new_tree), losses
 
     def validation_step(self, state: TrainState, batch,
-                        rng: Optional[jax.Array] = None):
-        """Losses + synthesized audio without updating parameters."""
+                        rng: Optional[jax.Array] = None, sync: bool = True):
+        """Losses + synthesized audio without updating parameters.
+
+        With sync=False, returns device values without blocking — callers
+        looping over many segments (evaluate_model.py) convert to host
+        floats in bulk at the end, keeping dispatch pipelined.
+        """
         self.check_pending()
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
@@ -214,6 +219,8 @@ class Trainer:
             rng = jax.random.PRNGKey(0)
         batch = self.distribute_batch(batch)
         losses, audio = self._eval_step(state.params, batch, rng)
+        if not sync:
+            return losses, audio
         return ({k: float(v) for k, v in losses.items()},
                 np.asarray(audio))
 

@@ -67,9 +67,17 @@ def main(args):
     if args.get_wav:
         os.makedirs(osjoin(args.out_dir, 'wav'), exist_ok=True)
 
+    # Losses stay on device during the sweep (sync=False): blocking on
+    # every segment's scalar would serialize dispatch against compute.
+    # They are materialized in bulk at each periodic CSV write.
+    def to_rows(evaluations):
+        return [{**e, 'loss_val': float(e['loss_val'])}
+                for e in evaluations]
+
     evaluations = []
     for i, batch in enumerate(test_dataset):
-        losses, audio_synth = trainer.validation_step(state, batch)
+        losses, audio_synth = trainer.validation_step(state, batch,
+                                                      sync=not args.get_wav)
         filename = str(batch['filename'][0][0])
         evaluations.append({
             'filename': filename,
@@ -77,15 +85,17 @@ def main(args):
             'loss_val': losses['audio_stft_loss'],
         })
         if i % 100 == 0:
-            pd.DataFrame(evaluations).to_csv(
+            pd.DataFrame(to_rows(evaluations)).to_csv(
                 osjoin(args.out_dir, 'spectral_losses.csv'), index=False)
             logging.info("segment %d: loss %.4f", i,
-                         losses['audio_stft_loss'])
+                         float(losses['audio_stft_loss']))
         if args.get_wav:
             wav_name = filename.split('/')[-1] + '.wav'
             audio_io.write_wav(osjoin(args.out_dir, 'wav', wav_name),
-                               audio_synth[0], model.sample_rate)
+                               np.asarray(audio_synth)[0],
+                               model.sample_rate)
 
+    evaluations = to_rows(evaluations)
     pd.DataFrame(evaluations).to_csv(osjoin(args.out_dir, 'spectral.csv'),
                                      index=False)
     if evaluations:
