@@ -339,7 +339,9 @@ class StreamingSynthesizer:
             }
             audio, state = self._chunk_fn(params, chunk_feats, state,
                                           jax.random.fold_in(rng, i))
-            chunks.append(np.asarray(audio))
+            # Keep chunks on device: a per-chunk np.asarray would block
+            # dispatch each iteration; one bulk transfer happens at the end.
+            chunks.append(audio)
         # Flush: a chunk of repeated last frames renders the final frame
         # with a (near-)clamped interpolation endpoint.
         flush_feats = {
@@ -351,8 +353,8 @@ class StreamingSynthesizer:
         audio, _ = self._chunk_fn(params, flush_feats, state,
                                   jax.random.fold_in(rng, 1 << 20))
         up = audio.shape[-1] // C
-        chunks.append(np.asarray(audio)[:, :up])
-        return np.concatenate(chunks, axis=1)
+        chunks.append(audio[:, :up])
+        return np.concatenate([np.asarray(c) for c in chunks], axis=1)
 
     # ------------------------------------------------------------------
 
