@@ -114,6 +114,30 @@ class Trainer:
                          step=state.step)
         return self.distribute_state(new)
 
+    # -- reference-Trainer API parity (ddsp trainers.Trainer surface;
+    # /root/reference/train_single_phase.py:127-182) --------------------
+
+    def build(self, batch=None,
+              rng: Optional[jax.Array] = None) -> TrainState:
+        """Create model + optimizer variables (the reference builds Keras
+        weights by forwarding a batch; here init is shape-free — the batch
+        argument is accepted for call-site compatibility)."""
+        del batch
+        return self.init_state(rng)
+
+    def run(self, fn, *args, **kwargs):
+        """strategy.run equivalent: under GSPMD the jitted fn is already
+        mesh-distributed, so this just calls it."""
+        return fn(*args, **kwargs)
+
+    def distribute_dataset(self, dataset):
+        """Shard each host batch of an iterable over the mesh 'data' axis
+        (the reference's trainer.distribute_dataset / AutoShardPolicy.DATA;
+        train_single_phase.py:143-144). train_step also accepts raw host
+        batches, so this wrapper is optional."""
+        for batch in dataset:
+            yield self.distribute_batch(batch)
+
     # -- distribution -------------------------------------------------------
 
     def distribute_state(self, state: TrainState) -> TrainState:

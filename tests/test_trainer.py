@@ -122,3 +122,19 @@ def test_shard_batch_rejects_scalars_and_indivisible():
                               'step': np.float32(1.0)}, mesh)
     with pytest.raises(ValueError, match='not divisible'):
         mesh_lib.shard_batch({'x': np.zeros((6, 3), np.float32)}, mesh)
+
+
+def test_reference_api_parity(setup):
+    """build / run / distribute_dataset exist and behave (ddsp Trainer
+    surface; reference train_single_phase.py:127-182)."""
+    model, trainer, state, batch = setup
+    built = trainer.build(batch)
+    assert int(built.step) == 0
+    out = trainer.run(lambda x: x + 1, 1)
+    assert out == 2
+    it = trainer.distribute_dataset([batch])
+    sharded = next(it)
+    assert sharded['audio'].shape == batch['audio'].shape
+    # train_step accepts a pre-distributed batch too.
+    state2, losses = trainer.train_step(built, sharded)
+    assert int(state2.step) == 1
