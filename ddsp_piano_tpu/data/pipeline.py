@@ -81,6 +81,14 @@ def segment_track(track: Dict[str, np.ndarray],
     polyphony = split_sequence(track['polyphony'], duration, frame_rate,
                                overlap)
     n_segments = min(len(audio), len(conditioning))
+    if n_segments == 0:
+        import logging
+        logging.getLogger(__name__).warning(
+            "Track %r yields no %gs segments (audio %.1fs, MIDI %.1fs) - "
+            "it will be silently absent from the dataset.",
+            track.get('filename', '?'), duration,
+            len(track['audio']) / sample_rate,
+            len(track['conditioning']) / frame_rate)
     segments = []
     for i in range(n_segments):
         if (filter_over_polyphony and max_polyphony is not None

@@ -325,3 +325,57 @@ class TestMidiParserRobustness:
                                midi.Note(62, 90, 0.5, 1.0)])
         seq = midi.parse_midi(path)
         assert [n.pitch for n in seq.notes] == [60, 62]
+
+
+class TestSingleTrackDataset:
+    """Train-on-one-recording dataset (reference data_pipeline.py:270-352)."""
+
+    def _make_track(self, tmp_path, seconds=7.0, sr=16000):
+        n_notes = max(1, int((seconds - 1.0) / 0.5))
+        notes = [midi.Note(pitch=60 + 2 * i, velocity=80,
+                           start_time=0.5 * i, end_time=0.5 * i + 0.4)
+                 for i in range(n_notes)]
+        midi_path = str(tmp_path / 'track.mid')
+        midi.write_midi(midi_path, notes)
+        t = np.arange(int(seconds * sr)) / sr
+        audio = (0.1 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+        wav_path = str(tmp_path / 'track.wav')
+        audio_io.write_wav(wav_path, audio, sr)
+        return midi_path, wav_path
+
+    def test_batches_have_canonical_shapes(self, tmp_path):
+        from ddsp_piano_tpu.data.pipeline import single_track_dataset
+        midi_path, wav_path = self._make_track(tmp_path)
+        it = single_track_dataset(midi_path, wav_path, batch_size=1,
+                                  duration=3.0, sample_rate=16000,
+                                  max_polyphony=4)
+        batches = list(it)
+        assert len(batches) >= 2   # 7 s track, 3 s segments, 50% overlap
+        b = batches[0]
+        assert b['audio'].shape == (1, 48000)
+        assert b['conditioning'].shape == (1, 750, 4, 2)
+        assert b['pedal'].shape == (1, 750, 4)
+        # Notes actually landed in the conditioning.
+        assert b['conditioning'][..., 0].max() >= 60
+
+    def test_short_track_padded_to_one_segment(self, tmp_path):
+        from ddsp_piano_tpu.data.pipeline import single_track_dataset
+        midi_path, wav_path = self._make_track(tmp_path, seconds=1.5)
+        batches = list(single_track_dataset(midi_path, wav_path,
+                                            duration=3.0,
+                                            sample_rate=16000,
+                                            max_polyphony=4))
+        assert len(batches) == 1
+        assert batches[0]['audio'].shape == (1, 48000)
+
+    def test_infinite_generator_loops(self, tmp_path):
+        from ddsp_piano_tpu.data.pipeline import single_track_dataset
+        midi_path, wav_path = self._make_track(tmp_path)
+        it = single_track_dataset(midi_path, wav_path, duration=3.0,
+                                  sample_rate=16000, max_polyphony=4,
+                                  infinite_generator=True)
+        finite = len(list(single_track_dataset(
+            midi_path, wav_path, duration=3.0, sample_rate=16000,
+            max_polyphony=4)))
+        for _ in range(finite + 2):   # runs past one epoch without ending
+            next(it)
