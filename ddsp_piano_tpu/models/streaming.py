@@ -159,7 +159,12 @@ class StreamingSynthesizer:
         context, ctx_states = self._context_forward(
             params, feats, state.get('context_states'))
         feats['context'] = context
-        if model.reverb_model is not None:
+        if model.reverb_model is not None and not all(
+                k in feats for k in model.reverb_model.output_keys):
+            # Skipped when the driver pre-computed the reverb features:
+            # they depend only on params + piano_model, so recomputing the
+            # (expensive, for the FDN) IR inside every scanned chunk would
+            # be pure loop-invariant waste.
             feats.update(model.reverb_model.apply_features(
                 params['reverb_model'], feats))
         if model.background_noise_model is not None:
@@ -312,6 +317,19 @@ class StreamingSynthesizer:
 
     # ------------------------------------------------------------------
 
+    def _static_features(self, params, features) -> Dict[str, Any]:
+        """Loop-invariant per-file features (the reverb IR), computed once
+        per render instead of once per chunk."""
+        model = self.model
+        if model.reverb_model is None:
+            return {}
+        inputs = getattr(model.reverb_model, 'input_keys', ())
+        if any(k != 'piano_model' for k in inputs):
+            return {}  # time-varying inputs: must stay inside the chunk
+        return dict(model.reverb_model.apply_features(
+            params['reverb_model'],
+            {'piano_model': features['piano_model']}))
+
     def synthesize(self, params, features: Dict[str, Any],
                    rng: Optional[jax.Array] = None) -> np.ndarray:
         """Render a full-length features dict chunk by chunk.
@@ -330,12 +348,14 @@ class StreamingSynthesizer:
             raise ValueError(f"total frames {total} must be divisible by "
                              f"chunk_frames {C}")
         state: Dict[str, Any] = {}
+        static = self._static_features(params, features)
         chunks = []
         for i, start in enumerate(range(0, total, C)):
             chunk_feats = {
                 'conditioning': features['conditioning'][:, start:start + C],
                 'pedal': features['pedal'][:, start:start + C],
                 'piano_model': features['piano_model'],
+                **static,
             }
             audio, state = self._chunk_fn(params, chunk_feats, state,
                                           jax.random.fold_in(rng, i))
@@ -349,6 +369,7 @@ class StreamingSynthesizer:
                 features['conditioning'][:, -1:], C, axis=1),
             'pedal': jnp.repeat(features['pedal'][:, -1:], C, axis=1),
             'piano_model': features['piano_model'],
+            **static,
         }
         audio, _ = self._chunk_fn(params, flush_feats, state,
                                   jax.random.fold_in(rng, 1 << 20))
@@ -366,6 +387,7 @@ class StreamingSynthesizer:
             'conditioning': features['conditioning'][:, :C],
             'pedal': features['pedal'][:, :C],
             'piano_model': features['piano_model'],
+            **self._static_features(params, features),
         }
         _, state_shapes = jax.eval_shape(
             lambda p, f: self._chunk_forward(p, f, {}, rng),
@@ -394,6 +416,7 @@ class StreamingSynthesizer:
 
         def run(params, features, rng):
             state = self._zero_state(params, features, rng)
+            static = self._static_features(params, features)
             cond = features['conditioning']
             pedal = features['pedal']
             b = cond.shape[0]
@@ -406,7 +429,8 @@ class StreamingSynthesizer:
             def body(state, xs):
                 cond_i, pedal_i, rng_i = xs
                 chunk_feats = {'conditioning': cond_i, 'pedal': pedal_i,
-                               'piano_model': features['piano_model']}
+                               'piano_model': features['piano_model'],
+                               **static}
                 audio, state = self._chunk_forward(params, chunk_feats,
                                                    state, rng_i)
                 return state, audio
@@ -420,6 +444,7 @@ class StreamingSynthesizer:
                 'conditioning': jnp.repeat(cond[:, -1:], C, axis=1),
                 'pedal': jnp.repeat(pedal[:, -1:], C, axis=1),
                 'piano_model': features['piano_model'],
+                **static,
             }
             tail_audio, _ = self._chunk_forward(params, flush_feats, state,
                                                 jax.random.fold_in(rng,
