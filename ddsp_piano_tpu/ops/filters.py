@@ -152,15 +152,65 @@ def frequency_impulse_response(magnitudes: Array,
                                             window_size=window_size)
 
 
+def _frequency_filter_conv(audio: Array, magnitudes: Array,
+                           window_size: int, padding: str) -> Array:
+    """Time-varying FIR filtering as ONE grouped MXU convolution.
+
+    Exact algebraic rewrite of the block-FFT path: the per-frame IR is
+    linear in the magnitudes, h_t = sum_k mags[t, k] * basis_k, and the
+    block convolution weights every input sample by the magnitudes of ITS
+    frame, so
+
+        out[m] = sum_s x[s] * h_{frame(s)}[m - s]
+               = sum_k (u_k * basis_k)[m],   u_k[s] = x[s] * mags[frame(s), k]
+
+    i.e. hold-upsample the magnitudes, multiply into the audio per band,
+    and convolve with the K fixed basis IRs (irfft of the identity through
+    the same windowing). This trades tens of thousands of small TPU FFTs
+    for one matmul-shaped convolution on the MXU.
+    """
+    batch, n = audio.shape
+    _, n_frames, n_bands = magnitudes.shape
+    hop = n // n_frames
+    basis = frequency_impulse_response(
+        jnp.eye(n_bands, dtype=jnp.float32), window_size=window_size)
+    ir_size = basis.shape[-1]
+    held = jnp.repeat(jnp.swapaxes(core.f32(magnitudes), 1, 2), hop,
+                      axis=-1)                       # (b, K, n)
+    u = audio[:, jnp.newaxis, :] * held
+    # conv_general_dilated correlates; flip the kernel for convolution.
+    kernel = jnp.flip(basis, axis=-1)[jnp.newaxis]   # (1, K, ir)
+    out = jax.lax.conv_general_dilated(
+        u, kernel, window_strides=(1,),
+        padding=[(ir_size - 1, ir_size - 1)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=jax.lax.Precision.HIGHEST)[:, 0]   # (b, n + ir - 1)
+    return crop_and_compensate_delay(out, n, ir_size, padding, -1)
+
+
 def frequency_filter(audio: Array, magnitudes: Array, window_size: int = 0,
-                     padding: str = 'same') -> Array:
+                     padding: str = 'same', method: str = 'auto') -> Array:
     """Time-varying FIR filtering from frame-rate frequency magnitudes.
 
     Args:
         audio: (batch, n_samples).
         magnitudes: (batch, n_frames, n_bands) strictly-positive filter
             magnitudes sampled on the rfft grid.
+        method: 'fft' (ddsp's block-FFT overlap-add — the TPU fast path)
+            or 'conv' (exact single-convolution rewrite; equivalent to
+            float rounding, but XLA's TPU mapping of a K-channels-in /
+            1-channel-out 1-D convolution starves the MXU — measured 45x
+            slower than the FFT path — so it is never auto-selected).
+            'auto' currently always resolves to 'fft'.
     """
+    audio = core.f32(audio)
+    if method not in ('auto', 'fft', 'conv'):
+        raise ValueError(f"unknown method {method!r}")
+    if method == 'conv' and magnitudes.ndim == 3:
+        n_frames = magnitudes.shape[1]
+        if n_frames > 1 and audio.shape[-1] % n_frames == 0:
+            return _frequency_filter_conv(audio, magnitudes, window_size,
+                                          padding)
     impulse_response = frequency_impulse_response(magnitudes,
                                                   window_size=window_size)
     return fft_convolve(audio, impulse_response, padding=padding,

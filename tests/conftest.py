@@ -20,3 +20,6 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Same PRNG stream as production (utils/jax_setup.py): the partitionable
+# threefry shards cleanly across a mesh (perf-neutral on-chip).
+jax.config.update("jax_threefry_partitionable", True)

@@ -120,3 +120,21 @@ def test_loudness_shape_and_monotonicity():
         loud.astype(np.float32), sr, fr))
     assert l_quiet.shape == l_loud.shape
     assert l_loud.mean() > l_quiet.mean() + 20  # ~34 dB apart
+
+
+def test_frequency_filter_conv_matches_fft():
+    """The single-convolution rewrite of the time-varying FIR is exact
+    (linear in the magnitudes; every input sample weighted by ITS frame's
+    magnitudes)."""
+    import jax.numpy as jnp
+    from ddsp_piano_tpu.ops import filters
+    rng = np.random.RandomState(0)
+    for (b, T, K, hop, ws) in [(2, 10, 33, 40, 257), (1, 25, 65, 96, 257),
+                               (3, 8, 17, 32, 0), (2, 12, 65, 50, 63)]:
+        audio = jnp.asarray(rng.randn(b, T * hop).astype(np.float32))
+        mags = jnp.asarray(np.abs(rng.randn(b, T, K)).astype(np.float32))
+        a = filters.frequency_filter(audio, mags, window_size=ws,
+                                     method='fft')
+        c = filters.frequency_filter(audio, mags, window_size=ws,
+                                     method='conv')
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)
