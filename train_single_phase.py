@@ -36,6 +36,12 @@ def process_args(argv=None):
                              "sub-modules. (default: %(default)s)")
     parser.add_argument('--restore', '-r', type=str, default=None,
                         help="Restore training state from a saved folder.")
+    parser.add_argument('--auto_resume', action='store_true',
+                        help="Resume from <exp_dir>/phase_<N>/last_iter if "
+                             "a checkpoint exists there (preemption-safe "
+                             "relaunch: the same command continues where "
+                             "the interrupted run stopped). --restore, if "
+                             "given, takes precedence.")
     parser.add_argument('--val_path', type=str, default=None,
                         help="Path to the validation data (if different "
                              "from maestro_path).")
@@ -90,12 +96,16 @@ def main(args):
     train_iterator = pipeline.Prefetcher(
         pipeline.get_training_dataset(args.maestro_path, **dataset_kwargs))
 
-    if args.restore is not None:
-        state = trainer.restore(state, args.restore)
-        logging.info("Restored model from %s at step %d", args.restore,
-                     int(state.step))
-
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
+    restore_from = args.restore
+    if restore_from is None and args.auto_resume:
+        from ddsp_piano_tpu.training.checkpoints import latest_checkpoint
+        if latest_checkpoint(osjoin(exp_dir, 'last_iter')) is not None:
+            restore_from = osjoin(exp_dir, 'last_iter')
+    if restore_from is not None:
+        state = trainer.restore(state, restore_from)
+        logging.info("Restored model from %s at step %d", restore_from,
+                     int(state.step))
     for sub in ('logs', 'last_iter', 'best_iter'):
         os.makedirs(osjoin(exp_dir, sub), exist_ok=True)
     writer = summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
