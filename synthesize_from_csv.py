@@ -67,6 +67,13 @@ def main(args):
         return model(params, features, rng=jax.random.PRNGKey(0))
 
     df = pd.read_csv(args.csv_file)
+    required = {'mid_file', 'piano_model', 'canonical_composer'}
+    missing = required - set(df.columns)
+    if missing:
+        raise SystemExit(
+            f"{args.csv_file} is missing columns {sorted(missing)}; this "
+            f"CLI expects a performance listing with columns "
+            f"{sorted(required)} (not the MAESTRO metadata csv).")
     piano_models = np.sort(df['piano_model'].unique())
     os.makedirs(args.out_dir, exist_ok=True)
 
