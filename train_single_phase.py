@@ -40,8 +40,10 @@ def process_args(argv=None):
                         help="Resume from <exp_dir>/phase_<N>/last_iter if "
                              "a checkpoint exists there (preemption-safe "
                              "relaunch: the same command continues where "
-                             "the interrupted run stopped). --restore, if "
-                             "given, takes precedence.")
+                             "the interrupted run stopped). Takes "
+                             "precedence over --restore once the phase has "
+                             "its own checkpoint, so --restore only seeds "
+                             "a fresh phase.")
     parser.add_argument('--val_path', type=str, default=None,
                         help="Path to the validation data (if different "
                              "from maestro_path).")
@@ -98,9 +100,11 @@ def main(args):
 
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
     restore_from = args.restore
-    if restore_from is None and args.auto_resume:
+    if args.auto_resume:
         from ddsp_piano_tpu.training.checkpoints import latest_checkpoint
         if latest_checkpoint(osjoin(exp_dir, 'last_iter')) is not None:
+            # The phase already has progress: resume it. An explicit
+            # --restore only seeds a phase that has not started yet.
             restore_from = osjoin(exp_dir, 'last_iter')
     if restore_from is not None:
         state = trainer.restore(state, restore_from)
