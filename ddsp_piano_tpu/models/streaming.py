@@ -35,6 +35,7 @@ from ddsp_piano_tpu import nn
 from ddsp_piano_tpu.models import sub_modules as sm
 from ddsp_piano_tpu.models.dag import VectorizedPolyphonicProcessorGroup
 from ddsp_piano_tpu.ops import core, oscillator
+from ddsp_piano_tpu.processors.reverb import FeedbackDelayNetwork, Reverb
 
 
 @dataclasses.dataclass
@@ -62,6 +63,9 @@ class StreamingSynthesizer:
         self.chunk_frames = chunk_frames
         self._chunk_fn = jax.jit(self._chunk_forward)
         self._scan_fns: Dict[int, Any] = {}  # keyed by n_chunks
+        # (ir_len, fft_len, add_dry) of the hoisted reverb operator; static
+        # per synthesizer (set by _static_features before any tracing).
+        self._reverb_meta = None
 
     # ------------------------------------------------------------------
 
@@ -268,22 +272,29 @@ class StreamingSynthesizer:
         new_tail = state.get('reverb_tail')
         if group.reverb is not None:
             rev = group.reverb
-            rev_params = params.get('processor_group', {}).get(rev.name, {})
-            rev_args = [mix] + [feats[c] for c in group.reverb_controls]
-            rev_ctrl = rev.get_controls(rev_params, *rev_args)
-            ir = core.f32(rev_ctrl['ir'])
-            if ir.ndim == 1:
-                ir = ir[None, :]
-            from ddsp_piano_tpu.processors.reverb import Reverb
-            add_dry = getattr(rev, 'add_dry', False)
-            if isinstance(rev, Reverb):
-                ir = rev._mask_dry_ir(ir)
-            ir_len = ir.shape[-1]
+            ir_fft = features.get('_reverb_ir_fft')
+            if ir_fft is not None:
+                # Hoisted path: the IR spectrum is loop-invariant (computed
+                # once per render in _static_features); only the chunk's
+                # forward/backward FFT runs per chunk.
+                ir_len, fft_len, add_dry = self._reverb_meta
+            else:
+                rev_params = params.get('processor_group',
+                                        {}).get(rev.name, {})
+                rev_args = [mix] + [feats[c] for c in group.reverb_controls]
+                rev_ctrl = rev.get_controls(rev_params, *rev_args)
+                ir = core.f32(rev_ctrl['ir'])
+                if ir.ndim == 1:
+                    ir = ir[None, :]
+                add_dry = getattr(rev, 'add_dry', False)
+                if isinstance(rev, Reverb):
+                    ir = rev._mask_dry_ir(ir)
+                ir_len = ir.shape[-1]
+                fft_len = int(2 ** np.ceil(np.log2(n_samples + ir_len - 1)))
+                ir_fft = jnp.fft.rfft(ir, n=fft_len)
             # Full linear convolution of this chunk (no crop).
-            fft_len = int(2 ** np.ceil(np.log2(n_samples + ir_len - 1)))
             wet = jnp.fft.irfft(
-                jnp.fft.rfft(mix, n=fft_len)
-                * jnp.fft.rfft(ir, n=fft_len), n=fft_len
+                jnp.fft.rfft(mix, n=fft_len) * ir_fft, n=fft_len
             )[:, :n_samples + ir_len - 1]
             tail_len = ir_len - 1
             tail_in = (jnp.zeros((batch, tail_len), jnp.float32)
@@ -318,17 +329,62 @@ class StreamingSynthesizer:
     # ------------------------------------------------------------------
 
     def _static_features(self, params, features) -> Dict[str, Any]:
-        """Loop-invariant per-file features (the reverb IR), computed once
-        per render instead of once per chunk."""
+        """Loop-invariant per-file features — the reverb IR and its FFT —
+        computed once per render instead of once per chunk."""
         model = self.model
-        if model.reverb_model is None:
-            return {}
-        inputs = getattr(model.reverb_model, 'input_keys', ())
-        if any(k != 'piano_model' for k in inputs):
-            return {}  # time-varying inputs: must stay inside the chunk
-        return dict(model.reverb_model.apply_features(
-            params['reverb_model'],
-            {'piano_model': features['piano_model']}))
+        static: Dict[str, Any] = {}
+        if model.reverb_model is not None:
+            inputs = getattr(model.reverb_model, 'input_keys', ())
+            if all(k == 'piano_model' for k in inputs):
+                static.update(model.reverb_model.apply_features(
+                    params['reverb_model'],
+                    {'piano_model': features['piano_model']}))
+            # else: time-varying inputs — must stay inside the chunk.
+        ir_fft = self._reverb_operator(params, static)
+        if ir_fft is not None:
+            static['_reverb_ir_fft'] = ir_fft
+        return static
+
+    def _reverb_operator(self, params, static: Dict[str, Any]):
+        """Precompute the chunk-invariant reverb spectrum, or None.
+
+        Covers both shipped reverb-processor forms: the plain convolution
+        Reverb (IR fed as a static feature or held as a trainable param)
+        and the standalone trainable FeedbackDelayNetwork (whose expensive
+        frequency-domain IR synthesis would otherwise re-run every chunk).
+        Side effect: records (ir_len, fft_len, add_dry) in _reverb_meta —
+        static Python values baked into the chunk trace.
+        """
+        group = self.model.processor_group
+        rev = group.reverb
+        if rev is None:
+            return None
+        if isinstance(rev, Reverb):
+            if rev.trainable:
+                ir = params['processor_group'][rev.name]['ir']
+            elif len(group.reverb_controls) == 1 and (
+                    group.reverb_controls[0] in static):
+                ir = static[group.reverb_controls[0]]
+            else:
+                return None  # time-varying IR: stays inside the chunk
+            ir = core.f32(ir)
+            if ir.ndim == 1:
+                ir = ir[None, :]
+            ir = rev._mask_dry_ir(ir)
+            add_dry = rev.add_dry
+        elif isinstance(rev, FeedbackDelayNetwork) and rev.trainable:
+            rev_params = params.get('processor_group', {}).get(rev.name, {})
+            ir = core.f32(rev.get_controls(rev_params, None)['ir'])
+            if ir.ndim == 1:
+                ir = ir[None, :]
+            add_dry = False
+        else:
+            return None
+        n_samples = self.chunk_frames * group.additive.upsampling
+        ir_len = ir.shape[-1]
+        fft_len = int(2 ** np.ceil(np.log2(n_samples + ir_len - 1)))
+        self._reverb_meta = (ir_len, fft_len, add_dry)
+        return jnp.fft.rfft(ir, n=fft_len)
 
     def synthesize(self, params, features: Dict[str, Any],
                    rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -398,12 +454,18 @@ class StreamingSynthesizer:
         return state
 
     def synthesize_scanned(self, params, features: Dict[str, Any],
-                           rng: Optional[jax.Array] = None) -> np.ndarray:
+                           rng: Optional[jax.Array] = None) -> jax.Array:
         """Device-resident long-file render: one jit, lax.scan over chunks.
 
         Functionally identical to synthesize() but the whole loop lives on
         device (no per-chunk host round trips), which restores one-shot
         throughput for arbitrarily long files at fixed memory.
+
+        Returns the audio as a DEVICE array: the device->host copy of a
+        multi-minute render costs more than the render itself through a
+        relayed chip (measured ~1 s for 180 s of 24 kHz audio vs ~0.5 s of
+        compute), so callers that post-process on device (or only need a
+        slice) must not pay it eagerly. np.asarray(result) materializes it.
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -459,4 +521,4 @@ class StreamingSynthesizer:
         # the first call's length on every later file.
         if n_chunks not in self._scan_fns:
             self._scan_fns[n_chunks] = jax.jit(run)
-        return np.asarray(self._scan_fns[n_chunks](params, features, rng))
+        return self._scan_fns[n_chunks](params, features, rng)
