@@ -151,6 +151,19 @@ class Normalize(Module):
         axes = tuple(range(1, x.ndim))
         mean = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        return self._affine(params, x, mean, var)
+
+    def apply_with_stats(self, params, x, mean, var):
+        """Normalize with externally-supplied statistics.
+
+        Streaming exactness hook: the reference semantics pool mean/var over
+        the WHOLE sequence, so chunked inference first sweeps the file to
+        accumulate them (models/streaming.py) and then normalizes every
+        chunk with these fixed whole-file values. mean/var broadcast
+        against x (typically (batch, 1, 1))."""
+        return self._affine(params, x, mean, var)
+
+    def _affine(self, params, x, mean, var):
         xn = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         scale = params['scale'].reshape(-1)
         shift = params['shift'].reshape(-1)

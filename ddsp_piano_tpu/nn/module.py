@@ -57,25 +57,58 @@ class Sequential(Module):
             x = layer(p, x, **kwargs)
         return x
 
-    def apply_with_state(self, params: Params, x, states=None, **kwargs):
+    def apply_with_state(self, params: Params, x, states=None,
+                         norm_stats=None, **kwargs):
         """Apply, threading recurrent state through stateful layers.
 
         `states` is a list aligned with the layer list (None for stateless
-        layers). Used by the streaming-inference driver to carry GRU hidden
-        states across chunks.
+        layers); `norm_stats` optionally maps a Normalize layer index to its
+        fixed whole-sequence (mean, var). Used by the streaming-inference
+        driver.
         """
-        from ddsp_piano_tpu.nn.layers import GRU
+        x, new_states, _ = self.apply_stream(params, x, states=states,
+                                             norm_stats=norm_stats, **kwargs)
+        return x, new_states
+
+    def apply_stream(self, params: Params, x, states=None, norm_stats=None,
+                     stop_after=None, **kwargs):
+        """Streaming-mode apply.
+
+        Threads GRU states like apply_with_state; Normalize layers listed in
+        `norm_stats` ({layer_idx: (mean, var)}) use those fixed whole-file
+        statistics (reference semantics — ddsp Normalize pools over the
+        whole sequence), others fall back to per-chunk stats. The *input*
+        of every Normalize without fixed stats is captured in the returned
+        `prenorm` dict so the stats sweeps can accumulate whole-file
+        moments; `stop_after` (a layer index) truncates the chain right
+        after that layer's input capture — later layers would be discarded
+        by the sweep anyway.
+
+        Returns (x, new_states, prenorm).
+        """
+        from ddsp_piano_tpu.nn.layers import GRU, Normalize
+        norm_stats = norm_stats or {}
         new_states = []
+        prenorm = {}
         for i, (layer, p) in enumerate(zip(self.layers, params)):
+            if isinstance(layer, Normalize) and i not in norm_stats:
+                prenorm[i] = x
+                if stop_after == i:
+                    new_states.extend(
+                        [None] * (len(self.layers) - len(new_states)))
+                    return x, new_states, prenorm
             if isinstance(layer, GRU):
                 s = states[i] if states is not None else None
                 x, h = layer(p, x, initial_state=s, return_state=True,
                              **kwargs)
                 new_states.append(h)
+                continue
+            if isinstance(layer, Normalize) and i in norm_stats:
+                x = layer.apply_with_stats(p, x, *norm_stats[i])
             else:
                 x = layer(p, x, **kwargs)
-                new_states.append(None)
-        return x, new_states
+            new_states.append(None)
+        return x, new_states, prenorm
 
 
 def split_keys(key: jax.Array, names: Sequence[str]) -> Dict[str, jax.Array]:
