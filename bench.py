@@ -60,7 +60,7 @@ def main():
     assert audio.shape == (1, int(duration * sample_rate))
     assert bool(jnp.isfinite(audio).all())
 
-    n_iters = 10
+    n_iters = 100  # relay timings with N<=50 iterations are unreliable
     t0 = time.perf_counter()
     for _ in range(n_iters):
         audio = forward(params, feats)

@@ -19,12 +19,13 @@ from typing import Callable, Dict
 
 _CONFIGS: Dict[str, Callable] = {}
 
-# Modules registering builders at import time.
+# Modules registering builders at import time. The 24 kHz / regularized
+# variants are registered from inside dafx22.py / maestro_v2.py, so they
+# have no module of their own. Imports are NOT exception-swallowed: a
+# broken config module must fail loudly, not vanish from the registry.
 _CONFIG_MODULES = (
-    'ddsp_piano_tpu.configs.dafx22',
-    'ddsp_piano_tpu.configs.dafx22_24khz',
-    'ddsp_piano_tpu.configs.maestro_v2',
-    'ddsp_piano_tpu.configs.maestro_v2_regularized',
+    'ddsp_piano_tpu.configs.dafx22',            # + dafx22_24khz
+    'ddsp_piano_tpu.configs.maestro_v2',        # + maestro_v2_regularized
     'ddsp_piano_tpu.configs.enstdkcl_32khz',
     'ddsp_piano_tpu.configs.enstdkcl_8khz',
     'ddsp_piano_tpu.configs.multi_instruments',
@@ -41,11 +42,7 @@ def register(name: str):
 
 def _ensure_loaded():
     for mod in _CONFIG_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            if mod.rsplit('.', 1)[-1] not in str(e):
-                raise
+        importlib.import_module(mod)
 
 
 def available_configs():

@@ -29,7 +29,8 @@ from ddsp_piano_tpu.models import sub_modules as sm
 # -----------------------------------------------------------------------------
 
 
-def save_checkpoint(directory: str, state, step: int):
+def save_checkpoint(directory: str, state, step: int,
+                    meta: Optional[dict] = None):
     """Save a train state under directory/ckpt-<step>.
 
     Components are saved as independent orbax items (params / opt_state /
@@ -56,7 +57,7 @@ def save_checkpoint(directory: str, state, step: int):
                        serialization.to_state_dict(state['opt_state']),
                        force=True)
     with open(os.path.join(path, 'meta.json'), 'w') as f:
-        json.dump({'step': int(state.get('step', step))}, f)
+        json.dump({'step': int(state.get('step', step)), **(meta or {})}, f)
     # Track the latest step like TF's 'checkpoint' index file.
     with open(os.path.join(directory, 'checkpoint'), 'w') as f:
         f.write(str(step))
@@ -81,6 +82,19 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     if not steps:
         return None
     return os.path.join(directory, f'ckpt-{max(steps)}')
+
+
+def read_meta(path_or_dir: str) -> dict:
+    """The checkpoint's meta.json ({'step', plus caller extras such as the
+    training CLI's 'phase_start_step'/'lowest_val_loss'}); {} if absent."""
+    import json
+
+    path = _resolve_ckpt_path(path_or_dir)
+    meta_path = os.path.join(path, 'meta.json')
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def _resolve_ckpt_path(path_or_dir: str) -> str:

@@ -149,8 +149,24 @@ class Trainer:
         return mesh_lib.shard_batch(batch, self.mesh)
 
     def psum(self, value):
-        """Sum across replicas (API parity; jit path sums implicitly)."""
-        return jax.tree.map(lambda x: jnp.sum(x), value)
+        """Global (cross-replica) sum of a tree (ddsp Trainer.psum parity).
+
+        Under GSPMD a mesh-sharded ``jax.Array`` is a *global* view, so
+        ``jnp.sum`` reduces across every device — and in a multi-process
+        run, across every host (XLA inserts the collective). Host-local
+        numpy values are therefore refused when process_count > 1: summing
+        them locally would silently drop the other processes' data.
+        """
+        if jax.process_count() > 1:
+            for leaf in jax.tree.leaves(value):
+                if not isinstance(leaf, jax.Array):
+                    raise TypeError(
+                        "Trainer.psum in a multi-process run requires "
+                        "global jax.Array inputs (e.g. from "
+                        "distribute_batch / a jit step); got "
+                        f"{type(leaf).__name__}, whose local sum would "
+                        "silently be wrong.")
+        return jax.tree.map(jnp.sum, value)
 
     # -- steps --------------------------------------------------------------
 
@@ -250,14 +266,14 @@ class Trainer:
 
     # -- checkpoints --------------------------------------------------------
 
-    def save(self, state: TrainState, directory: str):
+    def save(self, state: TrainState, directory: str, meta=None):
         # Flush the delayed NaN guard first: never write an unchecked
         # (possibly NaN) state to disk. Raises before touching the files;
         # the raised error carries the last finite state to save instead.
         self.check_pending()
         host_state = jax.tree.map(np.asarray, state.tree())
         return checkpoints.save_checkpoint(directory, host_state,
-                                           step=int(state.step))
+                                           step=int(state.step), meta=meta)
 
     def restore(self, state: TrainState, path_or_dir: str) -> TrainState:
         host_state = jax.tree.map(np.asarray, state.tree())

@@ -77,7 +77,7 @@ def main(args):
     evaluations = []
     for i, batch in enumerate(test_dataset):
         losses, audio_synth = trainer.validation_step(state, batch,
-                                                      sync=not args.get_wav)
+                                                      sync=False)
         filename = str(batch['filename'][0][0])
         evaluations.append({
             'filename': filename,

@@ -100,16 +100,44 @@ def main(args):
 
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
     restore_from = args.restore
+    resumed_this_phase = False
     if args.auto_resume:
         from ddsp_piano_tpu.training.checkpoints import latest_checkpoint
         if latest_checkpoint(osjoin(exp_dir, 'last_iter')) is not None:
             # The phase already has progress: resume it. An explicit
             # --restore only seeds a phase that has not started yet.
             restore_from = osjoin(exp_dir, 'last_iter')
+            resumed_this_phase = True
     if restore_from is not None:
         state = trainer.restore(state, restore_from)
         logging.info("Restored model from %s at step %d", restore_from,
                      int(state.step))
+
+    # Epoch accounting across preemptions: the phase's starting step and
+    # best validation loss persist in the checkpoint meta, so a relaunch
+    # runs only the REMAINING epochs — and a finished phase exits
+    # immediately instead of overtraining (the 3-phase recipe re-runs
+    # every phase's command after a relaunch).
+    phase_start_step = int(state.step)
+    lowest_val_loss = float('inf')
+    start_epoch = 0
+    if resumed_this_phase:
+        from ddsp_piano_tpu.training.checkpoints import read_meta
+        meta = read_meta(restore_from)
+        phase_start_step = int(meta.get('phase_start_step',
+                                        phase_start_step))
+        lowest_val_loss = float(meta.get('lowest_val_loss',
+                                         lowest_val_loss))
+        start_epoch = max(
+            0, (int(state.step) - phase_start_step) // args.steps_per_epoch)
+        if start_epoch >= args.epochs:
+            logging.info(
+                "Phase %d already completed %d/%d epochs (step %d); "
+                "nothing to do.", args.phase, start_epoch, args.epochs,
+                int(state.step))
+            return
+    phase_meta = lambda: {'phase_start_step': int(phase_start_step),
+                          'lowest_val_loss': float(lowest_val_loss)}
     for sub in ('logs', 'last_iter', 'best_iter'):
         os.makedirs(osjoin(exp_dir, sub), exist_ok=True)
     writer = summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
@@ -125,10 +153,9 @@ def main(args):
         logging.info("Profiler trace (%d steps) written to %s",
                      args.profile, logdir)
 
-    lowest_val_loss = float('inf')
     loss_keys = model.loss_keys()
     try:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             step = int(state.step)  # step != epoch when resuming
 
             # ----------------- fit training data -----------------
@@ -144,7 +171,8 @@ def main(args):
             writer.scalars('train_loss',
                            {k: v / args.steps_per_epoch
                             for k, v in epoch_losses.items()}, step)
-            trainer.save(state, osjoin(exp_dir, 'last_iter'))
+            trainer.save(state, osjoin(exp_dir, 'last_iter'),
+                         meta=phase_meta())
             logging.info("Last iteration model saved at %s",
                          osjoin(exp_dir, 'last_iter'))
 
@@ -191,7 +219,8 @@ def main(args):
 
             if epoch_val_losses['audio_stft_loss'] < lowest_val_loss:
                 lowest_val_loss = epoch_val_losses['audio_stft_loss']
-                trainer.save(state, osjoin(exp_dir, 'best_iter'))
+                trainer.save(state, osjoin(exp_dir, 'best_iter'),
+                             meta=phase_meta())
             writer.flush()
 
     except NanLossError as e:
