@@ -73,9 +73,6 @@ class StreamingSynthesizer:
                           VectorizedPolyphonicProcessorGroup):
             raise ValueError("Streaming requires the vectorized polyphonic "
                              "processor group.")
-        if model.surrogate_module is not None:
-            raise NotImplementedError(
-                "Streaming of surrogate models is not supported yet.")
         self.model = model
         self.chunk_frames = chunk_frames
         self.exact_normalize = exact_normalize
@@ -249,6 +246,17 @@ class StreamingSynthesizer:
             params, feats['conditioning'], extended, feats['context'],
             state.get('mono_states'), norm_stats=norm_stats.get('mono'))
         feats.update(mono_outs)
+        new_surrogate_time = None
+        if model.surrogate_module is not None:
+            # Frames-since-onset counter carried across chunks (the
+            # reference's OnsetLinspaceCell state).
+            decays, decay_time, new_surrogate_time = (
+                model.surrogate_module.apply(
+                    params['surrogate_module'], feats['conditioning'],
+                    extended, initial_state=state.get('surrogate_time'),
+                    return_state=True))
+            feats['decays'] = decays
+            feats['decay_time'] = decay_time
         if model.harmonic_masking is not None:
             feats.update(model.harmonic_masking.apply_features(
                 params['harmonic_masking'], feats))
@@ -283,10 +291,18 @@ class StreamingSynthesizer:
         add_params = {}
         controls = group.additive.get_controls(
             add_params, *[windowed[k] for k in add_ctrl_keys])
-        # Fold substrings exactly as the one-shot render does.
-        freqs, amps = group.additive.fold_substrings(
-            controls['amplitudes'], controls['harmonic_distribution'],
-            controls['harmonic_shifts'], controls['f0_hz'])
+        from ddsp_piano_tpu.processors.surrogate import (
+            SurrogateAdditive, render_framewise_decay)
+        surrogate = isinstance(group.additive, SurrogateAdditive)
+        if surrogate:
+            freqs, amps = group.additive.fold_controls(
+                controls['amplitudes'], controls['harmonic_distribution'],
+                controls['harmonic_shifts'], controls['f0_hz'])
+        else:
+            # Fold substrings exactly as the one-shot render does.
+            freqs, amps = group.additive.fold_substrings(
+                controls['amplitudes'], controls['harmonic_distribution'],
+                controls['harmonic_shifts'], controls['f0_hz'])
         osc_controls = oscillator.framewise_osc_controls(
             freqs, amps, up, sample_rate,
             initial_phase=state.get('osc_phase'), lookahead=True)
@@ -298,7 +314,15 @@ class StreamingSynthesizer:
             osc_controls = osc_controls._replace(
                 phase0=jnp.mod(osc_controls.phase0 - adjust,
                                2.0 * np.pi))
-        sig_add = oscillator.render_framewise(osc_controls, up, sample_rate)
+        if surrogate:
+            # The decay envelope is frame-local: align with the rendered
+            # frames (drop the lookahead endpoint).
+            sig_add = render_framewise_decay(
+                osc_controls, controls['decays'][:, :-1],
+                controls['decay_time'][:, :-1], up, sample_rate)
+        else:
+            sig_add = oscillator.render_framewise(osc_controls, up,
+                                                  sample_rate)
         new_phase = oscillator.framewise_final_phase(osc_controls, up,
                                                      sample_rate)
 
@@ -375,9 +399,11 @@ class StreamingSynthesizer:
             'prev_controls': new_prev,
             'reverb_tail': new_tail,
         }
+        if new_surrogate_time is not None:
+            new_state['surrogate_time'] = new_surrogate_time
         if first is not None:
             new_state['first'] = jnp.zeros_like(first)
-        return audio, new_state
+        return (audio, mix), new_state
 
     # ------------------------------------------------------------------
 
@@ -551,14 +577,17 @@ class StreamingSynthesizer:
         return jnp.fft.rfft(ir, n=fft_len)
 
     def synthesize(self, params, features: Dict[str, Any],
-                   rng: Optional[jax.Array] = None) -> np.ndarray:
+                   rng: Optional[jax.Array] = None,
+                   return_dry: bool = False) -> np.ndarray:
         """Render a full-length features dict chunk by chunk.
 
         features: conditioning (1, T, n_synths, 2), pedal (1, T, 4),
         piano_model (1, 1). Returns (1, T * up) audio, sample-aligned with
         the one-shot forward (the one-frame control lookahead is internal
         to the chunk protocol; it does not delay the output). The final
-        frame is flushed with a clamped interpolation endpoint.
+        frame is flushed with a clamped interpolation endpoint. With
+        return_dry, returns (audio, dry_mix) — the pre-reverb sum the
+        one-shot forward exposes as outputs['add']['signal'].
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -576,7 +605,7 @@ class StreamingSynthesizer:
                     lambda p, f: self._norm_stats_all(p, f, n_chunks))
             static['_norm_stats'] = self._stats_fns[n_chunks](params,
                                                               features)
-        chunks = []
+        chunks, dry_chunks = [], []
         for i, start in enumerate(range(0, total, C)):
             chunk_feats = {
                 'conditioning': features['conditioning'][:, start:start + C],
@@ -584,11 +613,12 @@ class StreamingSynthesizer:
                 'piano_model': features['piano_model'],
                 **static,
             }
-            audio, state = self._chunk_fn(params, chunk_feats, state,
-                                          jax.random.fold_in(rng, i))
+            (audio, dry), state = self._chunk_fn(params, chunk_feats, state,
+                                                 jax.random.fold_in(rng, i))
             # Keep chunks on device: a per-chunk np.asarray would block
             # dispatch each iteration; one bulk transfer happens at the end.
             chunks.append(audio)
+            dry_chunks.append(dry)
         # Flush: a chunk of repeated last frames renders the final frame
         # with a (near-)clamped interpolation endpoint.
         flush_feats = {
@@ -598,11 +628,16 @@ class StreamingSynthesizer:
             'piano_model': features['piano_model'],
             **static,
         }
-        audio, _ = self._chunk_fn(params, flush_feats, state,
-                                  jax.random.fold_in(rng, 1 << 20))
+        (audio, dry), _ = self._chunk_fn(params, flush_feats, state,
+                                         jax.random.fold_in(rng, 1 << 20))
         up = audio.shape[-1] // C
         chunks.append(audio[:, :up])
-        return np.concatenate([np.asarray(c) for c in chunks], axis=1)
+        dry_chunks.append(dry[:, :up])
+        out = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+        if not return_dry:
+            return out
+        return out, np.concatenate([np.asarray(c) for c in dry_chunks],
+                                   axis=1)
 
     # ------------------------------------------------------------------
 
@@ -627,12 +662,14 @@ class StreamingSynthesizer:
         return state
 
     def synthesize_scanned(self, params, features: Dict[str, Any],
-                           rng: Optional[jax.Array] = None) -> jax.Array:
+                           rng: Optional[jax.Array] = None,
+                           return_dry: bool = False) -> jax.Array:
         """Device-resident long-file render: one jit, lax.scan over chunks.
 
         Functionally identical to synthesize() but the whole loop lives on
         device (no per-chunk host round trips), which restores one-shot
-        throughput for arbitrarily long files at fixed memory.
+        throughput for arbitrarily long files at fixed memory. With
+        return_dry, returns (audio, dry_mix).
 
         Returns the audio as a DEVICE array: the device->host copy of a
         multi-minute render costs more than the render itself through a
@@ -672,14 +709,15 @@ class StreamingSynthesizer:
                 chunk_feats = {'conditioning': cond_i, 'pedal': pedal_i,
                                'piano_model': features['piano_model'],
                                **static}
-                audio, state = self._chunk_forward(params, chunk_feats,
-                                                   state, rng_i)
-                return state, audio
+                out, state = self._chunk_forward(params, chunk_feats,
+                                                 state, rng_i)
+                return state, out
 
-            state, audio = jax.lax.scan(body, state,
-                                        (cond_c, pedal_c, rngs))
+            state, (audio, dry) = jax.lax.scan(body, state,
+                                               (cond_c, pedal_c, rngs))
             # (n_chunks, b, C*up) -> (b, total*up)
             audio = jnp.swapaxes(audio, 0, 1).reshape(b, -1)
+            dry = jnp.swapaxes(dry, 0, 1).reshape(b, -1)
             # Flush the final frame with repeated last-frame conditioning.
             flush_feats = {
                 'conditioning': jnp.repeat(cond[:, -1:], C, axis=1),
@@ -687,17 +725,20 @@ class StreamingSynthesizer:
                 'piano_model': features['piano_model'],
                 **static,
             }
-            tail_audio, _ = self._chunk_forward(params, flush_feats, state,
-                                                jax.random.fold_in(rng,
-                                                                   1 << 20))
+            (tail_audio, tail_dry), _ = self._chunk_forward(
+                params, flush_feats, state, jax.random.fold_in(rng,
+                                                               1 << 20))
             up = tail_audio.shape[-1] // C
             # Drop the duplicated first frame; append the flushed frame.
-            return jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
-                                   axis=1)
+            return (jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
+                                    axis=1),
+                    jnp.concatenate([dry[:, up:], tail_dry[:, :up]],
+                                    axis=1))
 
         # `run` closes over n_chunks (the scan length), so the compiled fn
         # must be cached per chunk count — a single cached jit would replay
         # the first call's length on every later file.
         if n_chunks not in self._scan_fns:
             self._scan_fns[n_chunks] = jax.jit(run)
-        return self._scan_fns[n_chunks](params, features, rng)
+        audio, dry = self._scan_fns[n_chunks](params, features, rng)
+        return (audio, dry) if return_dry else audio

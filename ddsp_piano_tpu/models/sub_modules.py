@@ -844,7 +844,12 @@ class SurrogateModule(nn.DictModule):
     def init(self, key):
         return {'amp_model': self.amp_model.init(key)}
 
-    def apply(self, params, conditioning, extended_pitch, training=False):
+    def apply(self, params, conditioning, extended_pitch, training=False,
+              initial_state=None, return_state=False):
+        """initial_state: (b, 1, 1) frames-since-onset carried across
+        streaming chunks (0 = fresh start, matching the reference cell's
+        zero initial state); return_state hands back the carry after the
+        last frame."""
         decays = self.amp_model(params['amp_model'],
                                 jnp.asarray(extended_pitch[..., 0],
                                             jnp.int32))
@@ -853,13 +858,17 @@ class SurrogateModule(nn.DictModule):
         idx = jnp.arange(t, dtype=jnp.float32)[None, :, None]
         is_onset = (onset > 0).astype(jnp.float32)
         # Index of the most recent onset at or before each frame; frames
-        # before any onset behave like an onset at -1... the reference
-        # counts from 0 and holds 0 on onset frames:
-        #   time[i] = 0 if onset[i] else time[i-1] + 1, time[-1] = 0.
+        # before any onset continue counting from the carried value (the
+        # reference counts from 0 and holds 0 on onset frames:
+        #   time[i] = 0 if onset[i] else time[i-1] + 1, time[-1] = 0).
+        carry = (jnp.zeros((b, 1, 1), jnp.float32) if initial_state is None
+                 else initial_state)
         last_onset = jax.lax.cummax(
             jnp.where(is_onset > 0, idx, -jnp.inf), axis=1)
         decay_time = jnp.where(jnp.isfinite(last_onset), idx - last_onset,
-                               idx + 1.0)
+                               carry + idx + 1.0)
+        if return_state:
+            return decays, decay_time, decay_time[:, -1:]
         return decays, decay_time
 
 

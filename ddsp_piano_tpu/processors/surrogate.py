@@ -63,14 +63,27 @@ def surrogate_harmonic_synthesis(frequencies, amplitudes, decays=None,
 
     if decays is None or decay_time is None:
         return oscillator.render_framewise(controls, upsampling, sample_rate)
+    return render_framewise_decay(controls, decays, decay_time, upsampling,
+                                  sample_rate)
 
-    # Closed-form decay envelope per (frame, intra-sample): the reference
-    # repeats frame values `up` times and adds an intra-frame ramp:
-    #   env[k, s] = |decays[k]| ** (up * decay_time[k] + s)
+
+def render_framewise_decay(controls, decays, decay_time, upsampling,
+                           sample_rate):
+    """Framewise oscillator render with per-partial exponential decay.
+
+    Closed-form decay envelope per (frame, intra-sample): the reference
+    repeats frame values `up` times and adds an intra-frame ramp:
+        env[k, s] = |decays[k]| ** (up * decay_time[k] + s)
+    `decays`/`decay_time` align with the controls' rendered frames (trim
+    the lookahead endpoint before calling in streaming mode).
+    """
+    import math
+
     decays = core.f32(decays)
     decay_time = core.f32(decay_time)
     up = upsampling
     f_lo, f_hi, a_lo, a_hi, phase0 = controls
+    b, n_frames, _ = f_lo.shape
 
     s = jnp.arange(up, dtype=jnp.float32)
     s_col = s[jnp.newaxis, jnp.newaxis, :, jnp.newaxis]       # (1,1,up,1)
@@ -79,7 +92,6 @@ def surrogate_harmonic_synthesis(frequencies, amplitudes, decays=None,
     decay_env = jnp.exp(log_d * (t_base + s_col))             # (b,t,up,K)
 
     # Amplitude crossfade and Nyquist mask as in render_framewise.
-    import math
     h = jnp.sin((math.pi / (2.0 * up)) * s) ** 2
     h = h[jnp.newaxis, jnp.newaxis, :, jnp.newaxis]
     amp = a_lo[:, :, jnp.newaxis, :] * (1.0 - h) + a_hi[:, :, jnp.newaxis, :] * h
@@ -94,7 +106,7 @@ def surrogate_harmonic_synthesis(frequencies, amplitudes, decays=None,
              + w_scale * ((s_col + 1.0) * f_lo[:, :, jnp.newaxis, :]
                           + df * tri))
     audio = jnp.sum(amp * jnp.cos(phase), axis=-1)
-    return audio.reshape(b, n_samples)
+    return audio.reshape(b, n_frames * up)
 
 
 class SurrogateAdditive(Processor):
@@ -152,6 +164,16 @@ class SurrogateAdditive(Processor):
                 'harmonic_distribution': harmonic_distribution,
                 'harmonic_shifts': harmonic_shifts,
                 'f0_hz': core.f32(f0_hz)}
+
+    @staticmethod
+    def fold_controls(amplitudes, harmonic_distribution, harmonic_shifts,
+                      f0_hz):
+        """Per-partial (freqs, amps) at frame rate — the streaming driver's
+        shared representation (single-substring surrogate: no fold)."""
+        n_harmonics = harmonic_distribution.shape[-1]
+        freqs = core.get_harmonic_frequencies(f0_hz, n_harmonics)
+        freqs = freqs * (1.0 + harmonic_shifts)
+        return freqs, amplitudes * harmonic_distribution
 
     def get_signal(self, params, amplitudes, decays, decay_time,
                    harmonic_distribution, harmonic_shifts, f0_hz,

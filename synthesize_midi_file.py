@@ -135,14 +135,16 @@ def main(args):
         streamer = StreamingSynthesizer(model, chunk_frames=chunk_frames)
         # Device-resident lax.scan driver: ~6x faster than the python
         # chunk loop on long files (no per-chunk host round trips).
-        audio_synth = streamer.synthesize_scanned(
-            params, features, rng=jax.random.PRNGKey(args.seed))
+        result = streamer.synthesize_scanned(
+            params, features, rng=jax.random.PRNGKey(args.seed),
+            return_dry=args.unreverbed)
         n_samples = int(inputs['duration'] * sample_rate)
-        outs = {'audio_synth': audio_synth[:, :n_samples]}
         if args.unreverbed:
-            logging.warning("--unreverbed is not available in streaming "
-                            "mode; skipping the dry stem.")
-            args.unreverbed = False
+            audio_synth, dry = result
+            outs = {'audio_synth': audio_synth[:, :n_samples],
+                    'add': {'signal': dry[:, :n_samples]}}
+        else:
+            outs = {'audio_synth': result[:, :n_samples]}
     else:
         @jax.jit
         def forward(params, features):
