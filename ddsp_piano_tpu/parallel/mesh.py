@@ -38,6 +38,16 @@ def get_mesh_for_batch(batch_size: int, n_devices: Optional[int] = None,
     """Largest mesh whose size divides the batch (data-parallel sharding
     requires batch % n_devices == 0; tf.distribute tolerated uneven splits,
     GSPMD does not)."""
+    if jax.process_count() > 1:
+        # Every process's devices must participate in a multi-process mesh
+        # (a subset mesh would leave some hosts' devices out of the
+        # program, which GSPMD rejects at dispatch).
+        n = len(jax.devices())
+        if batch_size % n != 0:
+            raise ValueError(
+                f"Global batch {batch_size} must divide over the "
+                f"{n}-device multi-process mesh.")
+        return get_mesh(n, axis_name)
     limit = n_devices if n_devices is not None else len(jax.devices())
     limit = min(limit, len(jax.devices()))
     n = max(d for d in range(1, limit + 1) if batch_size % d == 0)
@@ -58,9 +68,20 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
 
     Equivalent to the reference's AutoShardPolicy.DATA dataset distribution
     (data_pipeline.py:263-265).
+
+    Single process: each value is the full global batch. Multi-process
+    (``jax.process_count() > 1``): each value is this host's LOCAL shard —
+    the per-host slice of the global batch — and the global jax.Array is
+    assembled across processes (the per-host half of AutoShardPolicy.DATA;
+    the reference gets this from tf.distribute's dataset sharding).
     """
     sharding = batch_sharding(mesh, axis_name)
-    n = mesh.devices.size
+    multiprocess = jax.process_count() > 1
+    # Devices this host contributes to the mesh (== all local devices for
+    # the full-slice meshes the CLIs build).
+    n = (len([d for d in mesh.devices.flat
+              if d.process_index == jax.process_index()])
+         if multiprocess else mesh.devices.size)
     for k, v in batch.items():
         if not hasattr(v, 'shape') or not v.shape:
             raise ValueError(
@@ -70,8 +91,12 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = 'data') -> dict:
         if v.shape[0] % n != 0:
             raise ValueError(
                 f"Batch axis of {k!r} has size {v.shape[0]}, not divisible "
-                f"by the {n}-device mesh. Pick a divisible batch size or "
-                f"shrink the mesh (--n_devices / get_mesh_for_batch).")
+                f"by the {n} local mesh device(s). Pick a divisible batch "
+                f"size or shrink the mesh (--n_devices/get_mesh_for_batch).")
+    if multiprocess:
+        return {k: jax.make_array_from_process_local_data(sharding,
+                                                          np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
@@ -109,6 +134,26 @@ def local_batch_slice(global_batch_size: int) -> slice:
     loading; the AutoShardPolicy.DATA equivalent across hosts)."""
     import jax
 
+    if global_batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"Global batch {global_batch_size} must divide over "
+            f"{jax.process_count()} processes.")
     per_host = global_batch_size // jax.process_count()
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+def slice_local_batch(batch: dict) -> dict:
+    """Take this host's slice of a batch dict every host loaded in full.
+
+    For deterministic (validation/test) sweeps where each host reads the
+    same global batches: slice axis 0 so shard_batch reassembles exactly
+    the global batch. No-op on a single process.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return batch
+    first = next(iter(batch.values()))
+    sl = local_batch_slice(first.shape[0])
+    return {k: v[sl] for k, v in batch.items()}

@@ -39,9 +39,15 @@ def save_checkpoint(directory: str, state, step: int,
     mask, and inference or cross-phase restores must not be coupled to it.
     The optimizer state is stored as a flax state-dict (plain nested dicts)
     so it round-trips through orbax independent of optax's namedtuples.
+
+    Multi-host: the training CLI gates saves to process 0 (the state is
+    host numpy, fully replicated), so orbax's cross-process barriers are
+    scoped to the calling process alone — a lead-only save must not wait
+    on hosts that never enter save_checkpoint.
     """
     import json
 
+    import jax
     import orbax.checkpoint as ocp
     from flax import serialization
 
@@ -49,7 +55,18 @@ def save_checkpoint(directory: str, state, step: int,
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f'ckpt-{step}')
     os.makedirs(path, exist_ok=True)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        mp_options = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f'proc{me}')
+        ckptr_cm = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(
+                multiprocessing_options=mp_options),
+            multiprocessing_options=mp_options)
+    else:
+        ckptr_cm = ocp.PyTreeCheckpointer()
+    with ckptr_cm as ckptr:
         ckptr.save(os.path.join(path, 'params'), state['params'],
                    force=True)
         if state.get('opt_state') is not None:

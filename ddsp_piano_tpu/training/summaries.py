@@ -13,6 +13,14 @@ from typing import Dict, Optional
 import numpy as np
 
 
+class NullWriter:
+    """No-op writer for non-lead hosts in a multi-host run: every host
+    computes identical replicated summaries, only process 0 writes."""
+
+    def __getattr__(self, name):
+        return lambda *a, **k: None
+
+
 class SummaryWriter:
     """Thin tf.summary wrapper (lazy TF import, host-side only)."""
 

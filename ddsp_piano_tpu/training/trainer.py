@@ -261,8 +261,15 @@ class Trainer:
         losses, audio = self._eval_step(state.params, batch, rng)
         if not sync:
             return losses, audio
-        return ({k: float(v) for k, v in losses.items()},
-                np.asarray(audio))
+        if jax.process_count() > 1:
+            # audio is sharded across processes (batch axis): np.asarray on
+            # a non-fully-addressable array raises, so all-gather it first.
+            # Losses are replicated global scalars — float() is valid.
+            from jax.experimental import multihost_utils
+            audio_host = multihost_utils.process_allgather(audio, tiled=True)
+        else:
+            audio_host = np.asarray(audio)
+        return ({k: float(v) for k, v in losses.items()}, audio_host)
 
     # -- checkpoints --------------------------------------------------------
 

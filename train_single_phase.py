@@ -58,6 +58,20 @@ def process_args(argv=None):
     parser.add_argument('--n_devices', type=int, default=None,
                         help="Devices in the data-parallel mesh "
                              "(default: all).")
+    parser.add_argument('--coordinator_address', type=str, default=None,
+                        help="host:port of process 0 for a multi-host run "
+                             "(jax.distributed; the reference reaches "
+                             "multi-host via train_util.get_strategy). "
+                             "Also read from $JAX_COORDINATOR_ADDRESS. "
+                             "--batch_size is the GLOBAL batch; each host "
+                             "loads batch_size/num_processes elements.")
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help="Total number of hosts in the multi-host run "
+                             "(default: auto-detected from the TPU "
+                             "environment).")
+    parser.add_argument('--process_id', type=int, default=None,
+                        help="This host's index in [0, num_processes) "
+                             "(default: auto-detected).")
     parser.add_argument('maestro_path', type=str,
                         help="Path to the MAESTRO dataset folder (or "
                              "preprocessed cache dir).")
@@ -69,6 +83,15 @@ def process_args(argv=None):
 def main(args):
     import jax
 
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+
+    # Multi-host wiring must come before any device use (SURVEY §2.9; the
+    # reference's train_util.get_strategy reach). No-op without a
+    # coordinator flag/env.
+    mesh_lib.initialize_multihost(args.coordinator_address,
+                                  args.num_processes, args.process_id)
+    is_lead = jax.process_index() == 0
+
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
     if args.debug_nans:
@@ -78,7 +101,6 @@ def main(args):
 
     from ddsp_piano_tpu.configs import get_model
     from ddsp_piano_tpu.data import pipeline
-    from ddsp_piano_tpu.parallel import mesh as mesh_lib
     from ddsp_piano_tpu.training import summaries
     from ddsp_piano_tpu.training.trainer import NanLossError, Trainer
 
@@ -86,17 +108,26 @@ def main(args):
 
     model = get_model(args.config, first_phase=first_phase)
     mesh = mesh_lib.get_mesh_for_batch(args.batch_size, args.n_devices)
-    logging.info("Mesh: %d device(s), data-parallel", mesh.devices.size)
+    logging.info("Mesh: %d device(s) / %d host(s), data-parallel",
+                 mesh.devices.size, jax.process_count())
     trainer = Trainer(model, learning_rate=args.lr,
                       first_phase=first_phase, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
     val_path = args.maestro_path if args.val_path is None else args.val_path
+    # --batch_size is the global batch; each host loads its share of
+    # training segments (per-host pipelines with distinct shuffle seeds =
+    # the reference's AutoShardPolicy.DATA). Validation is deterministic:
+    # every host reads the same global batches and takes its local slice.
+    local_bs = args.batch_size // jax.process_count()
     dataset_kwargs = dict(batch_size=args.batch_size,
                           max_polyphony=model.n_synths,
                           sample_rate=model.sample_rate)
     train_iterator = pipeline.Prefetcher(
-        pipeline.get_training_dataset(args.maestro_path, **dataset_kwargs))
+        pipeline.get_training_dataset(
+            args.maestro_path, **{**dataset_kwargs,
+                                  'batch_size': local_bs,
+                                  'seed': jax.process_index()}))
 
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
     restore_from = args.restore
@@ -140,18 +171,28 @@ def main(args):
                           'lowest_val_loss': float(lowest_val_loss)}
     for sub in ('logs', 'last_iter', 'best_iter'):
         os.makedirs(osjoin(exp_dir, sub), exist_ok=True)
-    writer = summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
+    # Multi-host: every host computes identical replicated states/losses;
+    # only process 0 writes events and checkpoints (shared-filesystem race
+    # otherwise). All hosts still CALL train/validation_step in lockstep —
+    # the steps carry cross-host collectives.
+    writer = (summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
+              if is_lead else summaries.NullWriter())
 
     if args.profile > 0:
         # Tracing hook (SURVEY §5: the reference has none): capture the
         # steady-state step, so run one untraced step first to compile.
         from ddsp_piano_tpu.utils.jax_setup import profile_trace
         state, _ = trainer.train_step(state, next(train_iterator))
-        with profile_trace(osjoin(exp_dir, 'profile')) as logdir:
+        if is_lead:
+            with profile_trace(osjoin(exp_dir, 'profile')) as logdir:
+                for _ in range(args.profile):
+                    state, _ = trainer.train_step(state,
+                                                  next(train_iterator))
+            logging.info("Profiler trace (%d steps) written to %s",
+                         args.profile, logdir)
+        else:
             for _ in range(args.profile):
                 state, _ = trainer.train_step(state, next(train_iterator))
-        logging.info("Profiler trace (%d steps) written to %s",
-                     args.profile, logdir)
 
     loss_keys = model.loss_keys()
     try:
@@ -171,10 +212,13 @@ def main(args):
             writer.scalars('train_loss',
                            {k: v / args.steps_per_epoch
                             for k, v in epoch_losses.items()}, step)
-            trainer.save(state, osjoin(exp_dir, 'last_iter'),
-                         meta=phase_meta())
-            logging.info("Last iteration model saved at %s",
-                         osjoin(exp_dir, 'last_iter'))
+            if is_lead:
+                trainer.save(state, osjoin(exp_dir, 'last_iter'),
+                             meta=phase_meta())
+                logging.info("Last iteration model saved at %s",
+                             osjoin(exp_dir, 'last_iter'))
+            else:
+                trainer.check_pending()  # same NaN-guard flush as save
 
             # ------------- skip validation early on -------------
             val_dataset = pipeline.get_validation_dataset(val_path,
@@ -182,8 +226,8 @@ def main(args):
             if int(state.step) < 3 * args.steps_per_epoch:
                 val_batch = next(iter(val_dataset), None)
                 if val_batch is not None:
-                    _, audio_synth = trainer.validation_step(state,
-                                                             val_batch)
+                    _, audio_synth = trainer.validation_step(
+                        state, mesh_lib.slice_local_batch(val_batch))
                     writer.audio('synthesized_audio', audio_synth,
                                  model.sample_rate, int(state.step))
                 continue
@@ -193,8 +237,8 @@ def main(args):
             val_outs_summary = None
             val_steps = 0
             for val_batch in val_dataset:
-                val_losses, audio_synth = trainer.validation_step(state,
-                                                                  val_batch)
+                val_losses, audio_synth = trainer.validation_step(
+                    state, mesh_lib.slice_local_batch(val_batch))
                 for k in loss_keys:
                     epoch_val_losses[k] += val_losses[k]
                 if val_steps == 0:
@@ -219,18 +263,22 @@ def main(args):
 
             if epoch_val_losses['audio_stft_loss'] < lowest_val_loss:
                 lowest_val_loss = epoch_val_losses['audio_stft_loss']
-                trainer.save(state, osjoin(exp_dir, 'best_iter'),
-                             meta=phase_meta())
+                if is_lead:
+                    trainer.save(state, osjoin(exp_dir, 'best_iter'),
+                                 meta=phase_meta())
             writer.flush()
 
     except NanLossError as e:
         # e.state is the last finite state (the NaN guard is checked with
         # a one-step delay; the loop-local `state` may already hold the
         # post-NaN parameters).
-        trainer.save(e.state if e.state is not None else state,
-                     osjoin(exp_dir, 'crashed_iter'))
+        if is_lead:
+            trainer.save(e.state if e.state is not None else state,
+                         osjoin(exp_dir, 'crashed_iter'))
         logging.error("%s", e)
     except KeyboardInterrupt:
+        if not is_lead:
+            raise
         try:
             trainer.save(state, osjoin(exp_dir, 'stopped_iter'))
         except NanLossError as e:
