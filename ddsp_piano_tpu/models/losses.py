@@ -54,8 +54,23 @@ class SpectralLoss(Loss):
         audio_synth = outputs[self.output_key]
         if self.extract_signal:
             audio_synth = audio_synth['signal']
+        return self._loss(outputs['audio'], audio_synth)
+
+    def compute_per_element(self, target_audio, audio):
+        """Per-batch-element losses, shape (batch,).
+
+        Element i equals compute() on the singleton batch {i} — the
+        reference's per-segment evaluation protocol (its evaluate_model.py
+        runs batch-1 forwards; /root/reference/evaluate_model.py:36-46).
+        vmap keeps the whole batch on the MXU instead of B host
+        round-trips.
+        """
+        return jax.vmap(lambda t, a: self._loss(t[None], a[None]))(
+            target_audio, audio)
+
+    def _loss(self, target_audio, audio_synth):
         return spectral.multi_scale_spectral_loss(
-            outputs['audio'], audio_synth,
+            target_audio, audio_synth,
             fft_sizes=self.fft_sizes,
             loss_type=self.loss_type,
             mag_weight=self.mag_weight,

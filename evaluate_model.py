@@ -6,6 +6,13 @@ test split in 10 s segments, records the per-segment multi-scale spectral
 loss to spectral_losses.csv / spectral.csv, and optionally dumps the
 synthesized wavs.
 
+Unlike the reference (which distributes batch-1 forwards over replicas,
+evaluate_model.py:36-46), segments are packed into --batch_size batches
+sharded over the device mesh, and the per-segment losses come from a
+vmapped per-element spectral loss — identical CSV values, roughly
+batch-fold fewer dispatches. The final partial batch is padded (pad rows
+are dropped from the CSV), so no segment is skipped.
+
 Note: like the reference (whose validation_step runs with training=True,
 evaluate_model.py:40), losses are computed from a training-mode forward; we
 keep that protocol so numbers are comparable.
@@ -31,11 +38,49 @@ def process_args(argv=None):
                         help="Generate wav files.")
     parser.add_argument('--duration', type=float, default=10.0,
                         help="Segment duration (default: %(default)s)")
+    parser.add_argument('--batch_size', '-b', type=int, default=4,
+                        help="Segments per forward, sharded over the mesh "
+                             "(default: %(default)s)")
+    parser.add_argument('--n_devices', type=int, default=None,
+                        help="Devices in the data-parallel mesh "
+                             "(default: all).")
     parser.add_argument('maestro_dir', type=str,
                         help="Path to the MAESTRO dataset.")
     parser.add_argument('out_dir', type=str,
                         help="Folder for evaluation outputs.")
     return parser.parse_args(argv)
+
+
+def batched_segments(dataset, batch_size):
+    """Group batch-1 segment dicts into padded size-batch_size batches.
+
+    Yields (batch dict without 'filename', per-segment metadata rows,
+    n_valid). The last group is padded by repeating its final segment so
+    every segment is evaluated with one fixed compiled shape (XLA: no
+    dynamic shapes); callers drop the pad rows.
+    """
+    import numpy as np
+
+    group = []
+    for seg in dataset:
+        group.append(seg)
+        if len(group) < batch_size:
+            continue
+        yield _concat_group(group, np, batch_size)
+        group = []
+    if group:
+        yield _concat_group(group, np, batch_size)
+
+
+def _concat_group(group, np, batch_size):
+    n_valid = len(group)
+    padded = group + [group[-1]] * (batch_size - n_valid)
+    batch = {k: np.concatenate([g[k] for g in padded])
+             for k in padded[0] if k != 'filename'}
+    metas = [{'filename': str(g['filename'][0][0]),
+              'piano_model': int(g['piano_model'][0][0])}
+             for g in group]
+    return batch, metas, n_valid
 
 
 def main(args):
@@ -48,16 +93,38 @@ def main(args):
 
     from ddsp_piano_tpu.configs import get_model
     from ddsp_piano_tpu.data import audio_io, pipeline
-    from ddsp_piano_tpu.training.trainer import Trainer
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
     from synthesize_midi_file import restore_params
 
     model = get_model(args.config, inference=True, duration=args.duration)
     params = model.init(jax.random.PRNGKey(0))
     params = restore_params(model, params, args.ckpt)
-    from ddsp_piano_tpu.parallel import mesh as mesh_lib
-    trainer = Trainer(model, mesh=mesh_lib.get_mesh(1))  # batch_size is 1
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = trainer.state_with_params(state, params)
+    mesh = mesh_lib.get_mesh_for_batch(args.batch_size, args.n_devices)
+    logging.info("Mesh: %d device(s), batch %d", mesh.devices.size,
+                 args.batch_size)
+    params = mesh_lib.replicate(params, mesh)
+
+    spec_loss = next(l for l in model.loss_objs
+                     if l.name == 'audio_stft_loss')
+
+    def eval_fn(p, batch, seg_indices):
+        # vmap the forward so each segment consumes a key derived from its
+        # GLOBAL index: the training-mode noise realization — and thus the
+        # recorded loss — is then independent of how segments are packed
+        # into batches (b=1 and b=8 sweeps produce the same CSV).
+        def single(elem, seg_idx):
+            elem = jax.tree.map(lambda v: v[None], elem)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), seg_idx)
+            outs = model(p, elem, training=True, rng=rng)
+            synth = outs[spec_loss.output_key]
+            if spec_loss.extract_signal:
+                synth = synth['signal']
+            return (spec_loss.compute_per_element(elem['audio'], synth)[0],
+                    outs['audio_synth'][0])
+
+        return jax.vmap(single)(batch, seg_indices)
+
+    eval_step = jax.jit(eval_fn)
 
     test_dataset = pipeline.get_test_dataset(
         args.maestro_dir, duration=args.duration, batch_size=1,
@@ -67,41 +134,50 @@ def main(args):
     if args.get_wav:
         os.makedirs(osjoin(args.out_dir, 'wav'), exist_ok=True)
 
-    # Losses stay on device during the sweep (sync=False): blocking on
-    # every segment's scalar would serialize dispatch against compute.
-    # They are materialized in bulk at each periodic CSV write.
+    # Losses stay on device during the sweep: blocking on every batch's
+    # scalars would serialize dispatch against compute. They are
+    # materialized in bulk at each periodic CSV write.
     def to_rows(evaluations):
-        return [{**e, 'loss_val': float(e['loss_val'])}
-                for e in evaluations]
+        rows = []
+        for per_seg, metas in evaluations:
+            vals = np.asarray(per_seg)
+            rows.extend({**meta, 'loss_val': float(vals[j])}
+                        for j, meta in enumerate(metas))
+        return rows
 
     evaluations = []
-    for i, batch in enumerate(test_dataset):
-        losses, audio_synth = trainer.validation_step(state, batch,
-                                                      sync=False)
-        filename = str(batch['filename'][0][0])
-        evaluations.append({
-            'filename': filename,
-            'piano_model': int(batch['piano_model'][0][0]),
-            'loss_val': losses['audio_stft_loss'],
-        })
-        if i % 100 == 0:
+    n_segments = 0
+    for i, (batch, metas, n_valid) in enumerate(
+            batched_segments(test_dataset, args.batch_size)):
+        seg_indices = np.arange(n_segments,
+                                n_segments + args.batch_size)
+        # Pad rows reuse the last valid segment's index (rows are dropped).
+        seg_indices = np.minimum(seg_indices, n_segments + n_valid - 1)
+        sharded = mesh_lib.shard_batch(batch, mesh)
+        seg_indices = mesh_lib.shard_batch(
+            {'i': seg_indices}, mesh)['i']
+        per_seg, audio_synth = eval_step(params, sharded, seg_indices)
+        evaluations.append((per_seg, metas))
+        n_segments += n_valid
+        if i % 32 == 0:
             pd.DataFrame(to_rows(evaluations)).to_csv(
                 osjoin(args.out_dir, 'spectral_losses.csv'), index=False)
-            logging.info("segment %d: loss %.4f", i,
-                         float(losses['audio_stft_loss']))
+            logging.info("segment %d: loss %.4f", n_segments,
+                         float(per_seg[0]))
         if args.get_wav:
-            wav_name = filename.split('/')[-1] + '.wav'
-            audio_io.write_wav(osjoin(args.out_dir, 'wav', wav_name),
-                               np.asarray(audio_synth)[0],
-                               model.sample_rate)
+            audio_host = np.asarray(audio_synth)
+            for j, meta in enumerate(metas):
+                wav_name = meta['filename'].split('/')[-1] + '.wav'
+                audio_io.write_wav(osjoin(args.out_dir, 'wav', wav_name),
+                                   audio_host[j], model.sample_rate)
 
-    evaluations = to_rows(evaluations)
-    pd.DataFrame(evaluations).to_csv(osjoin(args.out_dir, 'spectral.csv'),
-                                     index=False)
-    if evaluations:
-        mean_loss = float(np.mean([e['loss_val'] for e in evaluations]))
+    rows = to_rows(evaluations)
+    pd.DataFrame(rows).to_csv(osjoin(args.out_dir, 'spectral.csv'),
+                              index=False)
+    if rows:
+        mean_loss = float(np.mean([r['loss_val'] for r in rows]))
         logging.info("Evaluated %d segments; mean spectral loss %.4f",
-                     len(evaluations), mean_loss)
+                     len(rows), mean_loss)
 
 
 if __name__ == '__main__':
