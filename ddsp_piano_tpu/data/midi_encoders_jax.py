@@ -5,14 +5,19 @@ semantic reference in midi_encoders.py, C++ host hot path in native/):
 a lax.scan over frames with fixed-size (n_synths) state, so MIDI
 preprocessing can run on-device as part of a jitted serving graph.
 
-Exactness: bit-identical to the numpy reference for frames whose polyphony
-fits the capacity (property-tested). Over-capacity frames engage the
-reference's round-robin-overflow quirk chain (assigner == -1 writes through
-index -1, zero-pitches become "new" when the table is full, ...); those
-frames are filtered from training and the numpy/C++ paths reproduce the
-quirks exactly, while this JAX path applies a documented simplification:
-excess new notes overwrite the last channel. The produced conditioning is
-always a valid permutation of the top-n notes either way.
+Exactness: bit-identical to the numpy reference for every binary
+(0/1-active) pianoroll, INCLUDING frames whose polyphony exceeds the
+capacity (property-tested over persistently over-capacity rolls,
+tests/test_midi_data.py::TestJaxAllocatorOverCapacity). The reference's
+round-robin-overflow quirk chain (assigner == -1 writing through index
+-1, zero pitches becoming "new" when the table is full) is structurally
+unreachable from binary rolls: the top-n window releases and admits
+notes in balanced counts, so the post-release free slots always cover
+the new notes. The overflow clamp below (excess new notes -> last
+channel) therefore only fires for malformed inputs — non-binary active
+values, whose key*active products can collide into duplicate pitches —
+where this path diverges from the host allocator; the serving entry
+point binarizes the active channel so such inputs cannot reach it.
 
 Algorithm notes (derived from the sequential semantics):
 - update_assigner walks cyclically to the next free slot, so consecutive

@@ -37,6 +37,13 @@ def make_serving_fn(model, params, seed: int = 0):
     @jax.jit
     def serve(params, roll: jax.Array, pedal: jax.Array,
               piano_model: jax.Array) -> jax.Array:
+        # Binarize the active channel: the on-device allocator is
+        # bit-identical to the host allocator for 0/1 rolls (including
+        # over-capacity polyphony, property-tested), but non-binary active
+        # values can collide into duplicate pitches where the two paths
+        # legitimately diverge (midi_encoders_jax.py module docstring).
+        roll = jnp.stack([(roll[..., 0] > 0).astype(roll.dtype),
+                          roll[..., 1]], axis=-1)
         # vmap over the batch: conditioning comes out (b, T, n_synths, 2).
         conditioning, _ = jax.vmap(
             lambda r: roll_to_conditioning_jax(r, n_synths))(roll)

@@ -296,6 +296,78 @@ class TestJaxAllocator:
             np.sort(want_c[..., 0], axis=-1))
 
 
+class TestJaxAllocatorOverCapacity:
+    """The over-capacity band is EXACT for binary rolls (VERDICT r1 #8).
+
+    The reference's -1-cursor overflow quirk chain is structurally
+    unreachable from 0/1 rolls: the top-n window releases and admits
+    notes in balanced counts, so post-release free slots always cover the
+    new notes. The only divergence between the host and on-device
+    allocators is malformed non-binary active values (key*active pitch
+    collisions), which make_serving_fn binarizes away.
+    """
+
+    def _churn_roll(self, rng, n_synths, n_frames=30):
+        """Random walk held persistently ABOVE capacity with churn."""
+        roll = np.zeros((n_frames, 88, 2), np.float32)
+        lo, hi = n_synths + 1, min(88, 3 * n_synths)
+        active = set(rng.choice(88, rng.randint(lo, hi), replace=False))
+        for t in range(n_frames):
+            for _ in range(rng.randint(0, n_synths)):
+                if len(active) > lo and rng.rand() < 0.5:
+                    active.discard(rng.choice(sorted(active)))
+                elif len(active) < hi:
+                    k = rng.randint(0, 88)
+                    if k not in active:
+                        active.add(k)
+                        roll[t, k, 1] = rng.rand()
+            roll[t, sorted(active), 0] = 1.0
+        return roll
+
+    def test_exact_match_over_capacity(self):
+        import jax
+        from ddsp_piano_tpu.data.midi_encoders_jax import (
+            roll_to_conditioning_jax)
+        fn = jax.jit(roll_to_conditioning_jax, static_argnums=1)
+        rng = np.random.RandomState(1)
+        for trial in range(25):
+            n = int(rng.choice([4, 8, 16]))
+            roll = self._churn_roll(rng, n)
+            want_c, want_p = MIDIRoll2Conditioning(n)(roll.copy())
+            assert (want_p > n).any(), "roll must exceed capacity"
+            got_c, got_p = fn(roll, n)
+            np.testing.assert_array_equal(
+                np.asarray(got_c).astype(want_c.dtype), want_c)
+            np.testing.assert_array_equal(np.asarray(got_p), want_p)
+
+    def test_nonbinary_active_diverges_and_serving_binarizes(self):
+        """Document the one divergent input class, and show the serving
+        sanitization removes it."""
+        import jax
+        import jax.numpy as jnp
+        from ddsp_piano_tpu.data.midi_encoders_jax import (
+            roll_to_conditioning_jax)
+
+        # key 21 with active=2 collides with key 42's pitch (21*2 == 42).
+        roll = np.zeros((6, 88, 2), np.float32)
+        roll[:, [0, 21, 5, 9], 0] = 1.0
+        roll[2:, 0, 0] = 2.0   # malformed: pitch 21*2 duplicates key 21+21
+        roll[:, [0, 21, 5, 9], 1] = 0.5
+
+        binarized = np.stack([(roll[..., 0] > 0).astype(np.float32),
+                              roll[..., 1]], axis=-1)
+        want_c, _ = MIDIRoll2Conditioning(4)(binarized.copy())
+        got_raw = np.asarray(roll_to_conditioning_jax(roll, 4)[0])
+        got_bin = np.asarray(roll_to_conditioning_jax(binarized, 4)[0])
+        # Binary path matches the host allocator bit-for-bit ...
+        np.testing.assert_array_equal(got_bin.astype(want_c.dtype), want_c)
+        # ... and the serving-side sanitization is exactly binarization.
+        sanitized = jnp.stack([(jnp.asarray(roll)[..., 0] > 0).astype(
+            jnp.float32), jnp.asarray(roll)[..., 1]], axis=-1)
+        np.testing.assert_array_equal(
+            np.asarray(roll_to_conditioning_jax(sanitized, 4)[0]), got_bin)
+
+
 class TestMidiParserRobustness:
     def test_truncated_file_raises_cleanly(self, tmp_path):
         notes, ccs = _simple_sequence()
