@@ -63,6 +63,30 @@ def orthogonal(key, shape, dtype=jnp.float32):
     return jax.nn.initializers.orthogonal()(key, shape, dtype)
 
 
+# Opt-in bf16 control-network matmuls (Dense/GRU): inputs and kernels cast
+# to bfloat16, products accumulated/returned in float32; the synthesis path
+# is untouched. OFF by default — the Keras-parity numerics pinned by the
+# golden tests are fp32. Set before building/jitting a model (the flag is
+# read at trace time). Measured round 2 on TPU v5e with released dafx22
+# weights: +3.8 % throughput (330x -> 342x on the maestro-v2 bench scene),
+# spectral distance 0.28 % of the render-vs-silence distance, peak
+# waveform delta 0.83 % — inside the 1 % budget, so available for serving,
+# but too small a win to justify changing the default numerics.
+_BF16_MATMUL = False
+
+
+def enable_bf16_control(enabled: bool = True):
+    global _BF16_MATMUL
+    _BF16_MATMUL = bool(enabled)
+
+
+def _mm(x, kernel):
+    if _BF16_MATMUL:
+        return jnp.matmul(x.astype(jnp.bfloat16),
+                          kernel.astype(jnp.bfloat16)).astype(jnp.float32)
+    return jnp.matmul(x, kernel)
+
+
 class Dense(Module):
     """Keras-compatible Dense: y = act(x @ kernel + bias)."""
 
@@ -88,7 +112,7 @@ class Dense(Module):
         return params
 
     def apply(self, params, x, **_):
-        y = jnp.matmul(x, params['kernel'])
+        y = _mm(x, params['kernel'])
         if self.use_bias:
             y = y + params['bias']
         return self.activation(y)
@@ -249,7 +273,7 @@ class GRU(Module):
         """x: (batch, time, in_features) -> (batch, time, units)."""
         u = self.units
         b, t, _ = x.shape
-        x_proj = jnp.matmul(x, params['kernel']) + params['bias'][0]
+        x_proj = _mm(x, params['kernel']) + params['bias'][0]
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # (time, batch, 3u)
         h0 = (jnp.zeros((b, u), x.dtype) if initial_state is None
               else initial_state)
@@ -257,7 +281,7 @@ class GRU(Module):
         rec_bias = params['bias'][1]
 
         def step(h, xt):
-            rec = jnp.matmul(h, rec_kernel) + rec_bias
+            rec = _mm(h, rec_kernel) + rec_bias
             xz, xr, xh = xt[:, :u], xt[:, u:2 * u], xt[:, 2 * u:]
             rz, rr, rh = rec[:, :u], rec[:, u:2 * u], rec[:, 2 * u:]
             z = jax.nn.sigmoid(xz + rz)

@@ -112,3 +112,31 @@ def test_split_to_dict():
     d = nn.split_to_dict(x, (('a', 3), ('b', 7)))
     assert d['a'].shape == (2, 5, 3)
     assert d['b'].shape == (2, 5, 7)
+
+
+def test_bf16_control_opt_in_close_to_fp32_and_off_by_default():
+    """enable_bf16_control casts Dense/GRU matmuls to bf16 (fp32
+    accumulate); default numerics stay bit-exact fp32 (golden-pinned)."""
+    from ddsp_piano_tpu.nn import layers as L
+
+    assert not L._BF16_MATMUL, "bf16 control must be OFF by default"
+    dense = nn.Dense(8, 5)
+    gru = nn.GRU(6, 5)
+    dp = dense.init(jax.random.PRNGKey(0))
+    gp = gru.init(jax.random.PRNGKey(1))
+    x = np.random.RandomState(0).randn(2, 10, 5).astype(np.float32)
+
+    ref_d = np.asarray(dense.apply(dp, x))
+    ref_g = np.asarray(gru.apply(gp, x))
+    try:
+        L.enable_bf16_control(True)
+        got_d = np.asarray(dense.apply(dp, x))
+        got_g = np.asarray(gru.apply(gp, x))
+    finally:
+        L.enable_bf16_control(False)
+    assert got_d.dtype == np.float32 and got_g.dtype == np.float32
+    np.testing.assert_allclose(got_d, ref_d, atol=3e-2)
+    np.testing.assert_allclose(got_g, ref_g, atol=3e-2)
+    assert not np.array_equal(got_d, ref_d), "bf16 flag had no effect"
+    # Flag restored: fp32 path is bit-identical again.
+    np.testing.assert_array_equal(np.asarray(dense.apply(dp, x)), ref_d)
