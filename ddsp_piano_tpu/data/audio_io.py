@@ -65,14 +65,61 @@ def resample_audio(audio: np.ndarray, orig_rate: int,
                          axis=0).astype(np.float32)
 
 
+def decode_audio_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
+    """Decode any ffmpeg-readable file (mp3/flac/ogg/...) to mono float32.
+
+    The general-decode analogue of the reference's pydub path
+    (/root/reference/ddsp_piano/utils/io_utils.py:50-74) — pydub itself
+    shells out to ffmpeg, so this goes straight to the binary: one
+    subprocess streaming raw f32le samples at the target rate (ffmpeg does
+    the resample, as pydub's frame_rate conversion did).
+    """
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which('ffmpeg')
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"Cannot decode {path!r}: not a wav file and no `ffmpeg` binary "
+            f"on PATH. Install ffmpeg for mp3/flac/ogg inputs, or convert "
+            f"to wav. (MAESTRO ships wav; this path only serves "
+            f"user-supplied audio.)")
+    proc = subprocess.run(
+        [ffmpeg, '-v', 'error', '-i', path, '-f', 'f32le', '-ac', '1',
+         '-ar', str(int(sample_rate)), 'pipe:1'],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ffmpeg failed to decode {path!r}: "
+            f"{proc.stderr.decode(errors='replace').strip()}")
+    return np.frombuffer(proc.stdout, '<f4').astype(np.float32)
+
+
+def _is_wav(path: str) -> bool:
+    """RIFF/WAVE header sniff (extension-independent, like pydub's
+    format dispatch)."""
+    try:
+        with open(path, 'rb') as f:
+            head = f.read(12)
+        return head[:4] == b'RIFF' and head[8:12] == b'WAVE'
+    except OSError:
+        return False
+
+
 def load_audio_as_signal(audio_path: str,
                          sample_rate: int = 16000) -> np.ndarray:
     """Load audio as mono float32 in [-1, 1] at the target sample rate.
+
+    wav files take the native reader below; anything else (mp3/flac/...)
+    falls back to ffmpeg decoding (decode_audio_ffmpeg), mirroring the
+    reference's pydub/ffmpeg reach (io_utils.py:50-74).
 
     Matches the reference's expected-length convention: the output length is
     round(duration_at_original_rate * sample_rate), padded/trimmed after
     resampling.
     """
+    if not _is_wav(audio_path):
+        return decode_audio_ffmpeg(audio_path, sample_rate)
     data, rate = read_wav(audio_path)
     mono = data.mean(axis=1)
     expected_len = int(len(mono) / rate * sample_rate)
