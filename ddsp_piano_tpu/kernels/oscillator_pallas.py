@@ -19,6 +19,23 @@ Consumes the same frame-rate controls as ops.oscillator.render_framewise
 
 K is padded to a multiple of 128 lanes by the wrapper (zero amplitude =>
 silent padding partials).
+
+Two kernels:
+
+- `render_framewise_pallas` — round-1 kernel: partials on lanes, every
+  partial computed. Matches XLA's fused jnp path in speed (both sit at the
+  VPU transcendental roofline when all partials are live).
+- `render_framewise_pallas_skip` — round-2 kernel exploiting the piano's
+  dominant sparsity: most (voice, partial) pairs are silent (inactive
+  voice) or Nyquist-masked (high notes keep only a handful of partials
+  below sr/2; the reference merely zeros them AFTER computing the cosine,
+  inharm_synth.py:56-66). Controls are transposed to (B, K, frames) so
+  partials sit on SUBLANES; per (voice, frame-block) cell a dynamic
+  fori_loop walks 8-partial sublane tiles only up to the last active
+  partial (precomputed at frame rate on the host and delivered via
+  scalar prefetch). Skipped tiles contribute exact zeros in the full
+  kernel, so the output is bit-identical while the VPU transcendental
+  work drops by the masked fraction (~3x on chordal piano content).
 """
 
 from __future__ import annotations
@@ -28,6 +45,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from ddsp_piano_tpu.ops.oscillator import FramewiseOscControls
 
@@ -123,4 +141,140 @@ def render_framewise_pallas(controls: FramewiseOscControls,
         ),
         interpret=interpret,
     )(f_lo, f_hi, a_lo, a_hi, phase0)
+    return audio[:, :n_frames].reshape(b, n_frames * up)
+
+
+# -----------------------------------------------------------------------------
+# Round-2 kernel: skip Nyquist-masked / silent partial tiles
+# -----------------------------------------------------------------------------
+
+_KT = 8          # partials per skip tile (one f32 sublane tile)
+_FPB_SKIP = 128  # frames per block (one full lane tile of the control axis)
+
+
+def _osc_skip_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
+                     phase0_ref, out_ref, acc_ref,
+                     *, up: int, sample_rate: float):
+    """One (voice, frame-block) cell.
+
+    Control blocks are (1, K_pad, fpb) with partials on sublanes; kt_ref
+    (scalar prefetch) holds, per cell, the number of 8-partial tiles up to
+    the last active partial. Tiles past it are all exactly zero in the
+    full render (zero amplitude or frequency >= Nyquist for every sample
+    of every frame in the block), so the loop simply stops early.
+
+    The compute intermediate is laid out (K_tile, up, fpb): FRAMES on the
+    128-wide lane axis (fpb == 128, perfectly aligned) and intra-frame
+    samples on sublanes — `up` is 64/96 for the shipped rates, a multiple
+    of the 8-sublane tile, so no pad lanes are burned (the natural
+    (..., up, K) layout would waste 25 % of every lane tile when up=96).
+    The (up, fpb) accumulator is transposed once per cell on write-out.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    kt_max = kt_ref[i, j]
+
+    w_scale = _2PI / sample_rate
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, up, 1),
+                                 dimension=1).astype(jnp.float32)
+    h = jnp.sin((math.pi / (2.0 * up)) * s) ** 2
+    tri = (s * (s + 1.0)) * (0.5 / up)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(kt, carry):
+        sl = pl.ds(kt * _KT, _KT)
+        f_lo = f_lo_ref[0, sl, :][:, None, :]       # (8, 1, fpb)
+        f_hi = f_hi_ref[0, sl, :][:, None, :]
+        a_lo = a_lo_ref[0, sl, :][:, None, :]
+        a_hi = a_hi_ref[0, sl, :][:, None, :]
+        phase0 = phase0_ref[0, sl, :][:, None, :]
+        df = f_hi - f_lo
+        phase = phase0 + w_scale * ((s + 1.0) * f_lo + df * tri)
+        amp = a_lo * (1.0 - h) + a_hi * h
+        freq = f_lo + df * (s * (1.0 / up))
+        amp = jnp.where(freq < sample_rate / 2.0, amp, 0.0)
+        acc_ref[:, :] += jnp.sum(amp * jnp.cos(phase), axis=0)  # (up, fpb)
+        return carry
+
+    jax.lax.fori_loop(0, kt_max, body, 0)
+    out_ref[0] = acc_ref[:].T                                   # (fpb, up)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def render_framewise_pallas_skip(controls: FramewiseOscControls,
+                                 upsampling: int,
+                                 sample_rate: int,
+                                 interpret: bool = False) -> Array:
+    """Skipping Pallas render: (B, n_frames, K) controls -> (B, N) audio.
+
+    Numerically equivalent to render_framewise(..., backend='jnp'):
+    skipped tiles are exactly zero there too (amplitude zero or
+    Nyquist-masked at every interpolated sample, both of which the
+    host-side activity predicate reproduces exactly), so the only
+    difference is float32 reassociation of the partial-axis sum — measured
+    no farther from the float64 ground truth than the jnp path itself.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_lo, f_hi, a_lo, a_hi, phase0 = controls
+    b, n_frames, k = f_lo.shape
+    up = upsampling
+    nyq = float(sample_rate) / 2.0
+
+    # Last active partial per frame, at frame rate (cheap, fuses into the
+    # surrounding XLA program). A (frame, partial) contributes iff some
+    # interpolated sample has freq < Nyquist AND the amplitude crossfade is
+    # not identically zero; freq is linear in s, so min(f_lo, f_hi) decides.
+    active = ((jnp.minimum(f_lo, f_hi) < nyq)
+              & ((a_lo != 0.0) | (a_hi != 0.0)))            # (b, nf, k)
+    k_idx = jnp.arange(1, k + 1, dtype=jnp.int32)
+    k_last = jnp.max(jnp.where(active, k_idx, 0), axis=-1)  # (b, nf)
+
+    fpb = _FPB_SKIP
+    k_pad = -(-k // _KT) * _KT
+    f_pad = -(-n_frames // fpb) * fpb
+    pad = [(0, 0), (0, f_pad - n_frames), (0, k_pad - k)]
+
+    def prep(x):
+        if f_pad != n_frames or k_pad != k:
+            x = jnp.pad(x, pad)
+        return jnp.swapaxes(x, 1, 2)                        # (b, K_pad, F_pad)
+
+    f_lo_t, f_hi_t = prep(f_lo), prep(f_hi)
+    a_lo_t, a_hi_t = prep(a_lo), prep(a_hi)
+    phase0_t = prep(phase0)
+
+    # Per-(voice, frame-block) tile count: ceil(max k_last in block / 8).
+    k_last = jnp.pad(k_last, ((0, 0), (0, f_pad - n_frames)))
+    k_last_blk = jnp.max(k_last.reshape(b, f_pad // fpb, fpb), axis=-1)
+    kt_counts = -(-k_last_blk // _KT)                       # (b, n_fblocks)
+
+    grid = (b, f_pad // fpb)
+    # index maps get the scalar-prefetch ref appended to the grid indices
+    in_spec = pl.BlockSpec((1, k_pad, fpb), lambda i, j, *_: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, fpb, up), lambda i, j, *_: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[in_spec] * 5,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((up, fpb), jnp.float32)],
+    )
+    kernel = functools.partial(_osc_skip_kernel, up=up,
+                               sample_rate=float(sample_rate))
+    audio = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f_pad, up), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * f_pad * up * k_pad,
+            bytes_accessed=4 * (5 * b * f_pad * k_pad + b * f_pad * up),
+            transcendentals=2 * b * f_pad * up * k_pad,
+        ),
+        interpret=interpret,
+    )(kt_counts.astype(jnp.int32), f_lo_t, f_hi_t, a_lo_t, a_hi_t, phase0_t)
     return audio[:, :n_frames].reshape(b, n_frames * up)

@@ -35,6 +35,7 @@ ddsp_piano_tpu.kernels.oscillator_pallas.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -165,29 +166,43 @@ def render_framewise(controls: FramewiseOscControls,
                      backend: str = 'auto') -> Array:
     """Render audio from framewise controls.
 
-    Backends: 'jnp' (default under 'auto') — XLA fuses the closed-form
-    compute into the partial-axis reduce and, measured on TPU v5e, runs at
-    the same VPU-transcendental roofline as the hand-written kernel
-    (12.3 vs 12.6 ms for 16 voices x 4 s x 256 partials); 'pallas' — the
-    explicit fused kernel (bit-identical, guarantees the (frames, up, K)
-    intermediate never reaches HBM), opt-in via backend='pallas' or
-    DDSP_PIANO_TPU_PALLAS=1 because its compile path is expensive under
-    the remote-compile relay.
+    Backends:
+    - 'jnp' — XLA fuses the closed-form compute into the partial-axis
+      reduce; computes EVERY partial (Nyquist-masked ones included) and
+      sits at the VPU transcendental roofline.
+    - 'pallas' — round-1 fused kernel, same all-partials work (kept for
+      comparison; measured the same speed as 'jnp').
+    - 'pallas_skip' — round-2 kernel that skips 8-partial sublane tiles
+      that are entirely silent or Nyquist-masked (piano content masks the
+      majority of (voice, partial) pairs). Numerically equivalent to
+      'jnp' up to float32 reassociation of the partial sum.
+    Under 'auto': 'pallas_skip' on TPU, 'jnp' elsewhere; override with
+    DDSP_PIANO_TPU_PALLAS=skip|1|0 (skip = skipping kernel, 1 = round-1
+    kernel, 0 = force jnp).
 
     Returns (batch, n_frames * upsampling) audio, or with a trailing
     n_partials axis if sum_sinusoids=False.
     """
     import os
     if backend == 'auto':
-        use_pallas = (sum_sinusoids
-                      and jax.default_backend() == 'tpu'
-                      and os.environ.get('DDSP_PIANO_TPU_PALLAS') == '1')
-    else:
-        use_pallas = backend == 'pallas'
-    if use_pallas:
+        env = os.environ.get('DDSP_PIANO_TPU_PALLAS', '')
+        if sum_sinusoids and jax.default_backend() == 'tpu':
+            backend = {'1': 'pallas', '0': 'jnp',
+                       'skip': 'pallas_skip'}.get(env, 'pallas_skip')
+        else:
+            backend = 'jnp'
+    if backend in ('pallas', 'pallas_skip') and not sum_sinusoids:
+        raise ValueError("The Pallas oscillator kernels reduce over "
+                         "partials; use backend='jnp' for per-sinusoid "
+                         "output.")
+    if backend == 'pallas':
         from ddsp_piano_tpu.kernels.oscillator_pallas import (
             render_framewise_pallas)
         return render_framewise_pallas(controls, upsampling, sample_rate)
+    if backend == 'pallas_skip':
+        # Differentiable wrapper: pallas forward, jnp-graph VJP (training
+        # gradients keep flowing when the kernel is the default).
+        return _render_skip_grad(upsampling, sample_rate)(*controls)
 
     f_lo, f_hi, a_lo, a_hi, phase0 = controls
     b, n_frames, n_partials = f_lo.shape
@@ -215,6 +230,41 @@ def render_framewise(controls: FramewiseOscControls,
         audio = jnp.sum(wav, axis=-1)                        # (b,nf,up)
         return audio.reshape(b, n_frames * up)
     return wav.reshape(b, n_frames * up, n_partials)
+
+
+@functools.lru_cache(maxsize=None)
+def _render_skip_grad(upsampling: int, sample_rate: int):
+    """custom_vjp wrapper for the skipping Pallas kernel.
+
+    Forward: render_framewise_pallas_skip (the fast path). Backward: the
+    VJP of the jnp renderer — Pallas kernels have no autodiff rule, and
+    the two forwards agree to float32 reassociation, so differentiating
+    the jnp formulation yields the correct gradients for training while
+    inference (no grad) never pays for it.
+    """
+
+    def jnp_render(f_lo, f_hi, a_lo, a_hi, phase0):
+        return render_framewise(
+            FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0),
+            upsampling, sample_rate, backend='jnp')
+
+    @jax.custom_vjp
+    def render(f_lo, f_hi, a_lo, a_hi, phase0):
+        from ddsp_piano_tpu.kernels.oscillator_pallas import (
+            render_framewise_pallas_skip)
+        return render_framewise_pallas_skip(
+            FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0),
+            upsampling, sample_rate)
+
+    def fwd(*controls):
+        return render(*controls), controls
+
+    def bwd(controls, g):
+        _, vjp = jax.vjp(jnp_render, *controls)
+        return vjp(g)
+
+    render.defvjp(fwd, bwd)
+    return render
 
 
 # -----------------------------------------------------------------------------

@@ -164,3 +164,59 @@ def test_pallas_kernel_interpret_matches_jnp():
     got = np.asarray(render_framewise_pallas(controls, up, sr,
                                              interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_skip_kernel_interpret_matches_jnp():
+    """Skipping kernel (interpreter mode) == jnp renderer, including
+    frames that are silent, fully masked, or partially masked."""
+    from ddsp_piano_tpu.kernels.oscillator_pallas import (
+        render_framewise_pallas_skip)
+
+    rng = np.random.RandomState(3)
+    sr, up, K = 16000, 64, 48
+    b, n_frames = 3, 150
+    f0 = rng.uniform(20, 6000, (b, n_frames, 1)).astype(np.float32)
+    f0[0, :40] = 0.0
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(b, n_frames, K).astype(np.float32)
+    amps[0, :40] = 0.0
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(amps), up, sr)
+    want = np.asarray(oscillator.render_framewise(controls, up, sr,
+                                                  backend='jnp'))
+    got = np.asarray(render_framewise_pallas_skip(controls, up, sr,
+                                                  interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale)
+
+
+def test_skip_kernel_grad_wrapper_matches_jnp_grad():
+    """The custom_vjp wrapper's gradients equal the jnp renderer's (the
+    backward IS the jnp VJP; forward runs interpreted here)."""
+    from unittest import mock
+
+    import jax
+
+    from ddsp_piano_tpu.kernels import oscillator_pallas as kp
+
+    sr, up, K = 16000, 8, 8
+    rng = np.random.RandomState(0)
+    f0 = rng.uniform(100, 900, (1, 12, 1)).astype(np.float32)
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(1, 12, K).astype(np.float32)
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(amps), up, sr)
+
+    def loss_via(backend):
+        def f(a_lo):
+            c = controls._replace(a_lo=a_lo)
+            return jnp.sum(oscillator.render_framewise(
+                c, up, sr, backend=backend) ** 2)
+        return jax.grad(f)(controls.a_lo)
+
+    orig = kp.render_framewise_pallas_skip
+    with mock.patch.object(kp, 'render_framewise_pallas_skip',
+                           lambda c, u, s: orig(c, u, s, True)):
+        got = np.asarray(loss_via('pallas_skip'))
+    want = np.asarray(loss_via('jnp'))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
