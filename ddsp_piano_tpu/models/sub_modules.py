@@ -932,7 +932,7 @@ class NoteRelease(nn.DictModule):
         def step(state, xt):
             return self.cell.step(cell_params, state, xt)
 
-        final_state, ys = jax.lax.scan(step, state0, x, unroll=8)
+        final_state, ys = jax.lax.scan(step, state0, x, unroll=16)
         extended = jnp.swapaxes(ys, 0, 1)
         if return_state:
             return extended, final_state

@@ -89,6 +89,31 @@ def oscillator_bank_envelopes(frequency_envelopes: Array,
 # -----------------------------------------------------------------------------
 
 
+def _blocked_cumsum(x: Array, block: int = 32) -> Array:
+    """Inclusive cumsum over axis 1, two-level blocked.
+
+    XLA lowers jnp.cumsum to a reduce-window QUADRATIC in the scanned
+    length (470 us of a 6.9 ms forward for (16, 1000, 128) frame-rate
+    controls), and lax.associative_scan's log-depth tree is HBM-bound
+    (measured worse). Splitting into length-`block` intra-block cumsums
+    plus a short cumsum of block totals keeps the reduce-window cost at
+    n*block + (n/block)^2 — ~4x less work for n=1000, block=32 — with the
+    same memory-light lowering.
+    """
+    b, n, k = x.shape
+    if n <= 2 * block:
+        return jnp.cumsum(x, axis=1)
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    xb = x.reshape(b, n_pad // block, block, k)
+    within = jnp.cumsum(xb, axis=2)
+    totals = within[:, :, -1]
+    offsets = jnp.cumsum(totals, axis=1) - totals
+    out = (within + offsets[:, :, None]).reshape(b, n_pad, k)
+    return out[:, :n]
+
+
 class FramewiseOscControls(NamedTuple):
     """Frame-rate controls fully determining the audio-rate render.
 
@@ -137,7 +162,7 @@ def framewise_osc_controls(harmonic_frequencies: Array,
     # sum_{s=0}^{up-1} w(k, s) = w_scale * (up * f_lo + df * (up - 1) / 2).
     inc = w_scale * (up * f + (f_hi - f) * ((up - 1.0) / 2.0))
     inc = jnp.mod(inc, _2PI)
-    phase0 = jnp.mod(jnp.cumsum(inc, axis=1) - inc, _2PI)
+    phase0 = jnp.mod(_blocked_cumsum(inc) - inc, _2PI)
     if initial_phase is not None:
         phase0 = jnp.mod(phase0 + core.f32(initial_phase), _2PI)
     return FramewiseOscControls(f, f_hi, a, a_hi, phase0)
