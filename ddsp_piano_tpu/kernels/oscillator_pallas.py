@@ -278,3 +278,134 @@ def render_framewise_pallas_skip(controls: FramewiseOscControls,
         interpret=interpret,
     )(kt_counts.astype(jnp.int32), f_lo_t, f_hi_t, a_lo_t, a_hi_t, phase0_t)
     return audio[:, :n_frames].reshape(b, n_frames * up)
+
+
+# -----------------------------------------------------------------------------
+# Backward kernel: control gradients with the same tile-skip structure
+# -----------------------------------------------------------------------------
+
+
+def _osc_skip_bwd_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
+                         phase0_ref, g_ref,
+                         d_flo_ref, d_fhi_ref, d_alo_ref, d_ahi_ref,
+                         d_p0_ref, *, up: int, sample_rate: float):
+    """Gradients of the framewise render w.r.t. its five control arrays.
+
+    Same cell/tile structure as the forward, but the skip predicate is
+    NYQUIST-ONLY: a fully-masked tile has zero gradient for every control
+    (the mask multiplies amp, and d(mask)/d(freq) == 0 through jnp.where),
+    while a silent-but-audible tile still carries AMPLITUDE gradients —
+    training amplitudes come through exp_sigmoid and are never exactly
+    zero anyway, but the predicate keeps the kernel exact regardless.
+
+    The jnp backward materializes (batch, frames, up, K) intermediates in
+    HBM (~5 GB for the dafx22 training shapes — measured ~60 ms of the
+    111 ms step); here they only ever exist tile-by-tile in VMEM.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    kt_max = kt_ref[i, j]
+
+    w_scale = _2PI / sample_rate
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, up, 1),
+                                 dimension=1).astype(jnp.float32)
+    h = jnp.sin((math.pi / (2.0 * up)) * s) ** 2
+    tri = (s * (s + 1.0)) * (0.5 / up)
+
+    for ref in (d_flo_ref, d_fhi_ref, d_alo_ref, d_ahi_ref, d_p0_ref):
+        ref[0] = jnp.zeros_like(ref[0])
+    g = g_ref[0][None, :, :]                        # (1, up, fpb)
+
+    def body(kt, carry):
+        sl = pl.ds(kt * _KT, _KT)
+        f_lo = f_lo_ref[0, sl, :][:, None, :]       # (8, 1, fpb)
+        f_hi = f_hi_ref[0, sl, :][:, None, :]
+        a_lo = a_lo_ref[0, sl, :][:, None, :]
+        a_hi = a_hi_ref[0, sl, :][:, None, :]
+        phase0 = phase0_ref[0, sl, :][:, None, :]
+        df = f_hi - f_lo
+        phase = phase0 + w_scale * ((s + 1.0) * f_lo + df * tri)
+        mask = (f_lo + df * (s * (1.0 / up))) < sample_rate / 2.0
+        amp = jnp.where(mask, a_lo * (1.0 - h) + a_hi * h, 0.0)
+        gc = g * jnp.where(mask, jnp.cos(phase), 0.0)   # (8, up, fpb)
+        d_alo_ref[0, sl, :] = jnp.sum(gc * (1.0 - h), axis=1)
+        d_ahi_ref[0, sl, :] = jnp.sum(gc * h, axis=1)
+        gs = g * amp * (-jnp.sin(phase))
+        d_p0_ref[0, sl, :] = jnp.sum(gs, axis=1)
+        d_flo_ref[0, sl, :] = jnp.sum(
+            gs * (w_scale * ((s + 1.0) - tri)), axis=1)
+        d_fhi_ref[0, sl, :] = jnp.sum(gs * (w_scale * tri), axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, kt_max, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def render_framewise_pallas_skip_vjp(controls: FramewiseOscControls,
+                                     g: Array,
+                                     upsampling: int,
+                                     sample_rate: int,
+                                     interpret: bool = False
+                                     ) -> FramewiseOscControls:
+    """Control gradients for the skipping render; g is the audio
+    cotangent (B, n_frames * up). Returns a FramewiseOscControls of
+    gradients (matching jax.vjp of the jnp renderer up to float32
+    reassociation)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f_lo, f_hi, a_lo, a_hi, phase0 = controls
+    b, n_frames, k = f_lo.shape
+    up = upsampling
+    nyq = float(sample_rate) / 2.0
+
+    fpb = _FPB_SKIP
+    k_pad = -(-k // _KT) * _KT
+    f_pad = -(-n_frames // fpb) * fpb
+    pad = [(0, 0), (0, f_pad - n_frames), (0, k_pad - k)]
+
+    def prep(x):
+        if f_pad != n_frames or k_pad != k:
+            x = jnp.pad(x, pad)
+        return jnp.swapaxes(x, 1, 2)
+
+    args = [prep(x) for x in (f_lo, f_hi, a_lo, a_hi, phase0)]
+    g_t = jnp.swapaxes(
+        jnp.pad(g.reshape(b, n_frames, up),
+                ((0, 0), (0, f_pad - n_frames), (0, 0))), 1, 2)
+
+    # Nyquist-only activity (see kernel docstring).
+    audible = jnp.minimum(f_lo, f_hi) < nyq
+    k_idx = jnp.arange(1, k + 1, dtype=jnp.int32)
+    k_last = jnp.max(jnp.where(audible, k_idx, 0), axis=-1)
+    k_last = jnp.pad(k_last, ((0, 0), (0, f_pad - n_frames)))
+    kt_counts = -(-jnp.max(k_last.reshape(b, f_pad // fpb, fpb), -1) // _KT)
+
+    in_spec = pl.BlockSpec((1, k_pad, fpb), lambda i, j, *_: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, up, fpb), lambda i, j, *_: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, k_pad, fpb), lambda i, j, *_: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, f_pad // fpb),
+        in_specs=[in_spec] * 5 + [g_spec],
+        out_specs=[out_spec] * 5,
+    )
+    kernel = functools.partial(_osc_skip_bwd_kernel, up=up,
+                               sample_rate=float(sample_rate))
+    out_shape = [jax.ShapeDtypeStruct((b, k_pad, f_pad), jnp.float32)] * 5
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * b * f_pad * up * k_pad,
+            bytes_accessed=4 * (10 * b * f_pad * k_pad + b * f_pad * up),
+            transcendentals=4 * b * f_pad * up * k_pad,
+        ),
+        interpret=interpret,
+    )(kt_counts.astype(jnp.int32), *args, g_t)
+    unprep = lambda x: jnp.swapaxes(x, 1, 2)[:, :n_frames, :k]
+    return FramewiseOscControls(*(unprep(x) for x in grads))

@@ -261,11 +261,12 @@ def render_framewise(controls: FramewiseOscControls,
 def _render_skip_grad(upsampling: int, sample_rate: int):
     """custom_vjp wrapper for the skipping Pallas kernel.
 
-    Forward: render_framewise_pallas_skip (the fast path). Backward: the
-    VJP of the jnp renderer — Pallas kernels have no autodiff rule, and
-    the two forwards agree to float32 reassociation, so differentiating
-    the jnp formulation yields the correct gradients for training while
-    inference (no grad) never pays for it.
+    Forward: render_framewise_pallas_skip. Backward: a matching Pallas
+    kernel computing the five control gradients with the same tile-skip
+    structure — the jnp VJP materializes the (batch, frames, up, K)
+    intermediates in HBM (~5 GB at the dafx22 training shapes, ~60 ms of
+    a 111 ms train step). DDSP_PIANO_TPU_PALLAS_BWD=0 falls back to the
+    jnp VJP (reference/debug path).
     """
 
     def jnp_render(f_lo, f_hi, a_lo, a_hi, phase0):
@@ -285,8 +286,14 @@ def _render_skip_grad(upsampling: int, sample_rate: int):
         return render(*controls), controls
 
     def bwd(controls, g):
-        _, vjp = jax.vjp(jnp_render, *controls)
-        return vjp(g)
+        import os
+        if os.environ.get('DDSP_PIANO_TPU_PALLAS_BWD', '') == '0':
+            _, vjp = jax.vjp(jnp_render, *controls)
+            return vjp(g)
+        from ddsp_piano_tpu.kernels.oscillator_pallas import (
+            render_framewise_pallas_skip_vjp)
+        return tuple(render_framewise_pallas_skip_vjp(
+            FramewiseOscControls(*controls), g, upsampling, sample_rate))
 
     render.defvjp(fwd, bwd)
     return render

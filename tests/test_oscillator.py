@@ -214,9 +214,47 @@ def test_skip_kernel_grad_wrapper_matches_jnp_grad():
                 c, up, sr, backend=backend) ** 2)
         return jax.grad(f)(controls.a_lo)
 
-    orig = kp.render_framewise_pallas_skip
+    orig_fwd = kp.render_framewise_pallas_skip
+    orig_bwd = kp.render_framewise_pallas_skip_vjp
     with mock.patch.object(kp, 'render_framewise_pallas_skip',
-                           lambda c, u, s: orig(c, u, s, True)):
+                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+         mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
+                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
         got = np.asarray(loss_via('pallas_skip'))
     want = np.asarray(loss_via('jnp'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_skip_bwd_kernel_matches_jnp_vjp():
+    """The backward kernel's five control gradients (interpreter mode)
+    equal jax.vjp of the jnp renderer, including silent and Nyquist-masked
+    stretches (the backward predicate is Nyquist-only)."""
+    import jax
+
+    from ddsp_piano_tpu.kernels.oscillator_pallas import (
+        render_framewise_pallas_skip_vjp)
+    from ddsp_piano_tpu.ops.oscillator import FramewiseOscControls
+
+    rng = np.random.RandomState(5)
+    b, n_frames, K, up, sr = 2, 140, 40, 64, 16000
+    f0 = rng.uniform(20, 6000, (b, n_frames, 1)).astype(np.float32)
+    f0[0, :30] = 0.0
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(b, n_frames, K).astype(np.float32)
+    amps[0, :30] = 0.0
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(amps), up, sr)
+    g = jnp.asarray(rng.randn(b, n_frames * up).astype(np.float32))
+
+    def jnp_render(*c):
+        return oscillator.render_framewise(FramewiseOscControls(*c), up, sr,
+                                           backend='jnp')
+
+    _, vjp = jax.vjp(jnp_render, *controls)
+    want = vjp(g)
+    got = render_framewise_pallas_skip_vjp(controls, g, up, sr, True)
+    for name, w, gt in zip(controls._fields, want, got):
+        w, gt = np.asarray(w), np.asarray(gt)
+        scale = max(np.abs(w).max(), 1e-9)
+        np.testing.assert_allclose(gt, w, atol=2e-4 * scale,
+                                   err_msg=f'grad {name}')
