@@ -38,6 +38,21 @@ def frame(x: Array, frame_length: int, frame_step: int,
         x = jnp.pad(x, pad)
     else:
         n_frames = 1 + (n - frame_length) // frame_step
+    if frame_length % frame_step == 0:
+        # Overlapping windows whose hop divides the length (all the STFT
+        # losses: 75 % overlap) need no gather: chop into hop-sized rows
+        # and concatenate `ratio` shifted row views — a TPU gather of
+        # (n_frames, frame_length) indices was the hot op of the
+        # multi-scale loss (~1.8 ms per FFT size on the training step).
+        ratio = frame_length // frame_step
+        n_rows = n_frames + ratio - 1
+        rows_len = n_rows * frame_step
+        cur = x.shape[-1]
+        if cur < rows_len:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, rows_len - cur)])
+        rows = x[..., :rows_len].reshape(*x.shape[:-1], n_rows, frame_step)
+        return jnp.concatenate(
+            [rows[..., i:i + n_frames, :] for i in range(ratio)], axis=-1)
     idx = (jnp.arange(n_frames)[:, None] * frame_step
            + jnp.arange(frame_length)[None, :])
     return x[..., idx]
