@@ -183,12 +183,14 @@ def get_noise_bands(fb: FilterBank, min_noise_len: int, normalize: bool,
 class NoiseBandNetSynth(Processor):
     """Looped noise bands x upsampled amplitudes (NoiseBandNet-style).
 
-    Divergence from the reference (documented): amplitudes are resampled
-    once over the full length instead of per-noise_len chunk (reference
-    filtered_noise_synth.py:244-269 re-interpolates each chunk
-    independently, clamping at every chunk boundary — a memory workaround,
-    not a modeling choice). The global resample is smoother at chunk
-    boundaries and needs no Python loop; not used by any shipped config.
+    Reference-exact (round 2; filtered_noise_synth.py:223-270): the
+    reference re-interpolates amplitudes per noise_len chunk in a Python
+    loop (a GPU-memory workaround that clamps the interpolation at every
+    chunk boundary). Here the full chunks fold into the batch axis for
+    ONE batched resample — same per-chunk clamped values, no loop, static
+    shapes — with the reference's quirks preserved: the remainder chunk
+    is stretched to a full noise_len before the final truncation, and
+    sequences shorter than one chunk resample globally.
     """
 
     def __init__(self, n_band: int = 64, upsampling: int = 64,
@@ -223,14 +225,35 @@ class NoiseBandNetSynth(Processor):
 
     def get_signal(self, params, amplitudes, rng=None, **_):
         """amplitudes: (batch, n_frames, n_bands+1)."""
-        b, n_frames, _ = amplitudes.shape
+        b, n_frames, n_bands = amplitudes.shape
         n_samples = n_frames * self.upsampling
         if rng is None:
             rng = jax.random.PRNGKey(0)
         shift = jax.random.randint(rng, (), 0, self.noise_bands.shape[1])
         noise = jnp.roll(self.noise_bands, shift, axis=1)
-        # Tile looped noise up to n_samples (static length).
-        reps = -(-n_samples // self.noise_len)
-        noise = jnp.tile(noise, (1, reps, 1))[:, :n_samples]
-        upsampled = core.resample(amplitudes, n_samples)
-        return jnp.sum(noise * upsampled, axis=-1)
+
+        frame_len = self.noise_len // self.upsampling
+        if n_frames < frame_len:
+            # Shorter than one chunk: global resample against the chunk
+            # head (reference filtered_noise_synth.py:238-242).
+            upsampled = core.resample(amplitudes, n_samples)
+            return jnp.sum(noise[:, :n_samples] * upsampled, axis=-1)
+
+        # Per-chunk resample, vectorized: full chunks fold into batch.
+        n_full = n_frames // frame_len
+        main = amplitudes[:, :n_full * frame_len].reshape(
+            b * n_full, frame_len, n_bands)
+        up_main = core.resample(main, self.noise_len).reshape(
+            b, n_full * self.noise_len, n_bands)
+        rem_frames = n_frames - n_full * frame_len
+        if rem_frames:
+            # The reference stretches the remainder over a FULL chunk and
+            # truncates at the end (filtered_noise_synth.py:251-259, 269).
+            rem = core.resample(amplitudes[:, n_full * frame_len:],
+                                self.noise_len)
+            upsampled = jnp.concatenate([up_main, rem], axis=1)
+        else:
+            upsampled = up_main
+        reps = -(-upsampled.shape[1] // self.noise_len)
+        noise = jnp.tile(noise, (1, reps, 1))[:, :upsampled.shape[1]]
+        return jnp.sum(noise * upsampled, axis=-1)[:, :n_samples]

@@ -232,6 +232,47 @@ class TestNoiseBandNet:
         assert out.shape == (2, 50 * 64)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_matches_reference_chunk_loop(self):
+        """The vectorized per-chunk resample equals a literal port of the
+        reference's Python chunk loop (filtered_noise_synth.py:223-270),
+        including the stretched remainder chunk and final truncation."""
+        from ddsp_piano_tpu.ops import core as core_ops
+
+        synth = processors.NoiseBandNetSynth(n_band=16, upsampling=64,
+                                             sample_rate=16000,
+                                             min_noise_len=2 ** 4)
+        n_bands = synth.noise_bands.shape[-1]
+        frame_len = synth.noise_len // synth.upsampling
+        for n_frames in (frame_len * 3,          # exact chunks
+                         frame_len * 3 + frame_len // 2 + 1,  # remainder
+                         frame_len - 2):         # shorter than one chunk
+            amps = jnp.asarray(
+                RNG.rand(2, n_frames, n_bands).astype(np.float32))
+            rng = jax.random.PRNGKey(3)
+            # get_signal directly: __call__ first maps amplitudes through
+            # get_controls' exp_sigmoid, which the loop below bypasses.
+            got = np.asarray(synth.get_signal({}, amps, rng=rng))
+
+            # Literal reference loop.
+            shift = jax.random.randint(rng, (), 0,
+                                       synth.noise_bands.shape[1])
+            noise = np.asarray(jnp.roll(synth.noise_bands, shift, axis=1))
+            n_samples = n_frames * synth.upsampling
+            n_chunks = -(-n_frames // frame_len)
+            if n_frames < frame_len:
+                up = np.asarray(core_ops.resample(amps, n_samples))
+                want = (noise[:, :n_samples] * up).sum(-1)
+            else:
+                segs = []
+                for i in range(n_chunks):
+                    chunk = amps[:, i * frame_len:(i + 1) * frame_len]
+                    up = np.asarray(core_ops.resample(chunk,
+                                                      synth.noise_len))
+                    segs.append((noise[:, :up.shape[1]] * up).sum(-1))
+                want = np.concatenate(segs, axis=1)[:, :n_samples]
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_filterbank_covers_spectrum(self):
         fb = processors.FilterBank(n_filters_linear=8, n_filters_log=8,
                                    sample_rate=16000)
