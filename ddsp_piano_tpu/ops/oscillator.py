@@ -258,6 +258,90 @@ def render_framewise(controls: FramewiseOscControls,
 
 
 @functools.lru_cache(maxsize=None)
+def _render_skip_partitioned(upsampling: int, sample_rate: int):
+    """Batch-partitionable wrapper for the skipping forward kernel.
+
+    A bare pallas_call has no SPMD partitioning rule, so under a
+    multi-chip mesh GSPMD/Shardy would all-gather the controls and
+    REPLICATE the oscillator on every chip (verified on the virtual CPU
+    mesh: output came back fully replicated). custom_partitioning
+    declares the obvious rule — the kernel is embarrassingly parallel
+    over the voice-batch axis — so each chip renders only its batch
+    shard.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _render(f_lo, f_hi, a_lo, a_hi, phase0):
+        from ddsp_piano_tpu.kernels.oscillator_pallas import (
+            render_framewise_pallas_skip)
+        return render_framewise_pallas_skip(
+            FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0),
+            upsampling, sample_rate)
+
+    render_cp = custom_partitioning(_render)
+
+    def _bspec(named_sharding):
+        spec = named_sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(
+            _bspec(arg_shapes[0].sharding)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        ctrl = NamedSharding(mesh, PartitionSpec(b, None, None))
+        out = NamedSharding(mesh, PartitionSpec(b))
+        return mesh, _render, out, tuple([ctrl] * 5)
+
+    render_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='b i j, b i j, b i j, b i j, b i j -> b k')
+    return render_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _render_skip_vjp_partitioned(upsampling: int, sample_rate: int):
+    """Batch-partitionable wrapper for the backward kernel (same story as
+    _render_skip_partitioned: grads shard over the voice-batch axis)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _vjp(f_lo, f_hi, a_lo, a_hi, phase0, g):
+        from ddsp_piano_tpu.kernels.oscillator_pallas import (
+            render_framewise_pallas_skip_vjp)
+        return tuple(render_framewise_pallas_skip_vjp(
+            FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0), g,
+            upsampling, sample_rate))
+
+    vjp_cp = custom_partitioning(_vjp)
+
+    def _bspec(named_sharding):
+        spec = named_sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        return tuple([NamedSharding(mesh, PartitionSpec(b, None, None))] * 5)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        ctrl = NamedSharding(mesh, PartitionSpec(b, None, None))
+        gsh = NamedSharding(mesh, PartitionSpec(b))
+        return (mesh, _vjp, tuple([ctrl] * 5),
+                tuple([ctrl] * 5) + (gsh,))
+
+    vjp_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=('b i j, b i j, b i j, b i j, b i j, b k -> '
+                       'b i j, b i j, b i j, b i j, b i j'))
+    return vjp_cp
+
+
+@functools.lru_cache(maxsize=None)
 def _render_skip_grad(upsampling: int, sample_rate: int):
     """custom_vjp wrapper for the skipping Pallas kernel.
 
@@ -276,11 +360,8 @@ def _render_skip_grad(upsampling: int, sample_rate: int):
 
     @jax.custom_vjp
     def render(f_lo, f_hi, a_lo, a_hi, phase0):
-        from ddsp_piano_tpu.kernels.oscillator_pallas import (
-            render_framewise_pallas_skip)
-        return render_framewise_pallas_skip(
-            FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0),
-            upsampling, sample_rate)
+        return _render_skip_partitioned(upsampling, sample_rate)(
+            f_lo, f_hi, a_lo, a_hi, phase0)
 
     def fwd(*controls):
         return render(*controls), controls
@@ -290,10 +371,8 @@ def _render_skip_grad(upsampling: int, sample_rate: int):
         if os.environ.get('DDSP_PIANO_TPU_PALLAS_BWD', '') == '0':
             _, vjp = jax.vjp(jnp_render, *controls)
             return vjp(g)
-        from ddsp_piano_tpu.kernels.oscillator_pallas import (
-            render_framewise_pallas_skip_vjp)
-        return tuple(render_framewise_pallas_skip_vjp(
-            FramewiseOscControls(*controls), g, upsampling, sample_rate))
+        return _render_skip_vjp_partitioned(upsampling, sample_rate)(
+            *controls, g)
 
     render.defvjp(fwd, bwd)
     return render

@@ -258,3 +258,57 @@ def test_pallas_skip_bwd_kernel_matches_jnp_vjp():
         scale = max(np.abs(w).max(), 1e-9)
         np.testing.assert_allclose(gt, w, atol=2e-4 * scale,
                                    err_msg=f'grad {name}')
+
+
+def test_skip_kernel_partitions_over_batch_mesh():
+    """Under a data mesh the skipping kernel (and its backward) shard over
+    the voice-batch axis instead of being replicated per chip — the
+    custom_partitioning rule. Verified on the virtual 8-device mesh with
+    interpreter-mode kernels."""
+    from unittest import mock
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_piano_tpu.kernels import oscillator_pallas as kp
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh(8)
+    b, n_frames, K, up, sr = 16, 120, 32, 64, 16000
+    rng = np.random.RandomState(0)
+    f0 = rng.uniform(50, 4000, (b, n_frames, 1)).astype(np.float32)
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(b, n_frames, K).astype(np.float32)
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(amps), up, sr)
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P('data'))),
+        controls)
+
+    orig_fwd = kp.render_framewise_pallas_skip
+    orig_bwd = kp.render_framewise_pallas_skip_vjp
+    with mock.patch.object(kp, 'render_framewise_pallas_skip',
+                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+         mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
+                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
+        out = jax.jit(lambda c: oscillator.render_framewise(
+            c, up, sr, backend='pallas_skip'))(sharded)
+        assert out.sharding.spec == P('data'), out.sharding
+        ref = np.asarray(oscillator.render_framewise(controls, up, sr,
+                                                     backend='jnp'))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3 * scale)
+
+        def loss(a_lo, rest):
+            c = rest._replace(a_lo=a_lo)
+            return jnp.sum(oscillator.render_framewise(
+                c, up, sr, backend='pallas_skip') ** 2)
+
+        grad = jax.jit(jax.grad(loss))(sharded.a_lo, sharded)
+        assert grad.sharding.spec == P('data'), grad.sharding
+        gref = jax.grad(lambda a: jnp.sum(oscillator.render_framewise(
+            controls._replace(a_lo=a), up, sr, backend='jnp') ** 2))(
+                controls.a_lo)
+        gscale = float(jnp.abs(gref).max())
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(gref),
+                                   atol=2e-3 * gscale)
