@@ -47,7 +47,7 @@ PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES_PER_S = 819e9
 
 
-def _time_forward(forward, params, feats, duration, n_iters=100):
+def _time_forward(forward, params, feats, n_iters=100):
     """Steady-state seconds per forward (N>=100: relay timings with
     N<=50 iterations are unreliable)."""
     audio = forward(params, feats)
@@ -78,7 +78,7 @@ def main():
     def forward(params, feats):
         return model(params, feats, rng=jax.random.PRNGKey(0))['audio_synth']
 
-    wall, audio = _time_forward(forward, params, feats, duration)
+    wall, audio = _time_forward(forward, params, feats)
     assert audio.shape == (1, int(duration * sample_rate))
     assert bool(jnp.isfinite(audio).all())
     value = duration / wall
@@ -96,7 +96,7 @@ def main():
     # Aggregate serving throughput: batch-8 forward on one chip.
     feats8 = {k: jnp.asarray(np.repeat(v, 8, axis=0))
               for k, v in build_inputs(duration).items()}
-    wall8, _ = _time_forward(forward, params, feats8, duration, n_iters=32)
+    wall8, _ = _time_forward(forward, params, feats8)
     aggregate_b8 = 8 * duration / wall8
 
     print(json.dumps({

@@ -205,11 +205,12 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
     batch, n = audio.shape
     _, n_frames, n_bands = magnitudes.shape
     frame_size = -(-n // n_frames)
-    ir_size = 2 * (n_bands - 1)
-    fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
-
     basis = frequency_impulse_response(jnp.eye(n_bands, dtype=jnp.float32),
                                        window_size=window_size)
+    # The window may TRUNCATE the IR (window_size < 2*(n_bands-1)); take
+    # the realized length so fft size / crop delay match the 'fft' path.
+    ir_size = basis.shape[-1]
+    fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
     basis_fft = jnp.fft.rfft(basis, n=fft_size, axis=-1)   # (K, F) complex
     mags = core.f32(magnitudes)
     ir_re = jnp.einsum('btk,kf->btf', mags, basis_fft.real)

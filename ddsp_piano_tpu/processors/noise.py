@@ -233,27 +233,36 @@ class NoiseBandNetSynth(Processor):
         noise = jnp.roll(self.noise_bands, shift, axis=1)
 
         frame_len = self.noise_len // self.upsampling
-        if n_frames < frame_len:
+        # Chunk length in samples: frame_len * upsampling == noise_len when
+        # the noise loop divides evenly (the practical case); otherwise the
+        # reference reuses only the first frame_len*up noise samples per
+        # chunk, which the tiling below reproduces.
+        chunk_samples = frame_len * self.upsampling
+        if frame_len == 0 or n_frames < frame_len:
             # Shorter than one chunk: global resample against the chunk
-            # head (reference filtered_noise_synth.py:238-242).
+            # head (reference filtered_noise_synth.py:238-242). frame_len
+            # == 0 (noise loop shorter than one frame of audio) would
+            # divide-by-zero in the reference; loop the noise instead.
+            reps = -(-n_samples // self.noise_len)
+            noise = jnp.tile(noise, (1, reps, 1))[:, :n_samples]
             upsampled = core.resample(amplitudes, n_samples)
-            return jnp.sum(noise[:, :n_samples] * upsampled, axis=-1)
+            return jnp.sum(noise * upsampled, axis=-1)
 
         # Per-chunk resample, vectorized: full chunks fold into batch.
         n_full = n_frames // frame_len
         main = amplitudes[:, :n_full * frame_len].reshape(
             b * n_full, frame_len, n_bands)
-        up_main = core.resample(main, self.noise_len).reshape(
-            b, n_full * self.noise_len, n_bands)
+        up_main = core.resample(main, chunk_samples).reshape(
+            b, n_full * chunk_samples, n_bands)
         rem_frames = n_frames - n_full * frame_len
         if rem_frames:
             # The reference stretches the remainder over a FULL chunk and
             # truncates at the end (filtered_noise_synth.py:251-259, 269).
             rem = core.resample(amplitudes[:, n_full * frame_len:],
-                                self.noise_len)
+                                chunk_samples)
             upsampled = jnp.concatenate([up_main, rem], axis=1)
         else:
             upsampled = up_main
-        reps = -(-upsampled.shape[1] // self.noise_len)
-        noise = jnp.tile(noise, (1, reps, 1))[:, :upsampled.shape[1]]
+        n_chunks = upsampled.shape[1] // chunk_samples
+        noise = jnp.tile(noise[:, :chunk_samples], (1, n_chunks, 1))
         return jnp.sum(noise * upsampled, axis=-1)[:, :n_samples]

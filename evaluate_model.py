@@ -86,6 +86,12 @@ def _concat_group(group, np, batch_size):
 def main(args):
     import jax
 
+    # The per-segment-rng eval step vmaps the model forward, and jax.vmap
+    # has no batching rule for the partitioned Pallas oscillator
+    # (custom_partitioning primitive) — pin the vmappable jnp renderer.
+    # Read at trace time; set before the eval step is built.
+    os.environ['DDSP_PIANO_TPU_PALLAS'] = '0'
+
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np

@@ -138,3 +138,19 @@ def test_frequency_filter_conv_matches_fft():
         c = filters.frequency_filter(audio, mags, window_size=ws,
                                      method='conv')
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)
+
+
+def test_linmap_matches_fft_path_with_truncating_window():
+    """window_size < 2*(n_bands-1) truncates the basis IRs; the linmap
+    path must size fft/crop from the REALIZED IR length (regression:
+    it once hardcoded 2*(n_bands-1) and time-shifted the output)."""
+    from ddsp_piano_tpu.ops import filters
+
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 3200).astype(np.float32)
+    mags = rng.rand(2, 40, 160).astype(np.float32)   # ir 318 > window 257
+    old = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                              method='fft'))
+    new = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                              method='linmap'))
+    np.testing.assert_allclose(new, old, atol=1e-5 * np.abs(old).max())

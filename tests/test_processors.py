@@ -273,6 +273,21 @@ class TestNoiseBandNet:
             assert got.shape == want.shape
             np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_short_noise_loop_does_not_crash(self):
+        """noise_len < upsampling (frame_len == 0) would divide-by-zero in
+        the reference's chunk loop; here it loops the noise globally."""
+        synth = processors.NoiseBandNetSynth(n_band=16, upsampling=64,
+                                             sample_rate=16000,
+                                             min_noise_len=2 ** 4)
+        n_bands = synth.noise_bands.shape[-1]
+        # Force a pathologically short noise loop.
+        synth.noise_len = 32
+        synth.noise_bands = synth.noise_bands[:, :32]
+        amps = jnp.asarray(RNG.rand(1, 10, n_bands).astype(np.float32))
+        out = synth.get_signal({}, amps, rng=jax.random.PRNGKey(0))
+        assert out.shape == (1, 640)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_filterbank_covers_spectrum(self):
         fb = processors.FilterBank(n_filters_linear=8, n_filters_log=8,
                                    sample_rate=16000)
