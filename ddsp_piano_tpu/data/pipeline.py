@@ -413,6 +413,7 @@ class Prefetcher:
         self._queue: 'queue.Queue' = queue.Queue(maxsize=depth)
         self._iterator = iterator
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -420,6 +421,11 @@ class Prefetcher:
         try:
             for item in self._iterator:
                 self._queue.put(item)
+        except BaseException as e:   # noqa: B036 - surfaced to the consumer
+            # Without this, a pipeline error (bad cache, unreadable file)
+            # would silently end the "infinite" iterator and the train
+            # loop would die with a bare StopIteration.
+            self._error = e
         finally:
             self._queue.put(self._done)
 
@@ -429,5 +435,8 @@ class Prefetcher:
     def __next__(self):
         item = self._queue.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data pipeline worker failed") from self._error
             raise StopIteration
         return item

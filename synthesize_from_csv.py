@@ -66,6 +66,25 @@ def main(args):
     def forward(params, features):
         return model(params, features, rng=jax.random.PRNGKey(0))
 
+    @jax.jit
+    def render_stems(outs):
+        """Isolated additive and noise stems re-rendered per voice from
+        the saved controls (reference synthesize_from_csv.py:99-127).
+        One jitted program: eager per-op dispatch through the relayed
+        chip both crawls and trips backend ops (eager complex FFTs are
+        UNIMPLEMENTED there)."""
+        additive = model.processor_group.additive
+        noise = model.processor_group.noise
+        additive_signal, noise_signal = 0.0, 0.0
+        for i in range(model.n_synths):
+            additive_signal = additive_signal + additive.apply(
+                {}, outs[f'amplitudes_{i}'],
+                outs[f'harmonic_distribution_{i}'],
+                outs[f'inharm_coef_{i}'], outs[f'f0_hz_{i}'])
+            noise_signal = noise_signal + noise.apply(
+                {}, outs[f'magnitudes_{i}'], rng=jax.random.PRNGKey(i))
+        return additive_signal, noise_signal
+
     df = pd.read_csv(args.csv_file)
     required = {'mid_file', 'piano_model', 'canonical_composer'}
     missing = required - set(df.columns)
@@ -105,23 +124,7 @@ def main(args):
         if args.decompose:
             save(stem + '_unreverbed.wav',
                  np.asarray(outs['add']['signal'])[0, crop:])
-            # Re-render isolated additive and noise stems per voice from
-            # the saved controls (reference synthesize_from_csv.py:99-127).
-            additive = model.processor_group.additive
-            noise = model.processor_group.noise
-            additive_signal, noise_signal = None, None
-            for i in range(model.n_synths):
-                add_sig = additive.apply(
-                    {}, outs[f'amplitudes_{i}'],
-                    outs[f'harmonic_distribution_{i}'],
-                    outs[f'inharm_coef_{i}'], outs[f'f0_hz_{i}'])
-                noi_sig = noise.apply(
-                    {}, outs[f'magnitudes_{i}'],
-                    rng=jax.random.PRNGKey(i))
-                additive_signal = (add_sig if additive_signal is None
-                                   else additive_signal + add_sig)
-                noise_signal = (noi_sig if noise_signal is None
-                                else noise_signal + noi_sig)
+            additive_signal, noise_signal = render_stems(outs)
             save(stem + '_additive.wav',
                  np.asarray(additive_signal)[0, crop:])
             save(stem + '_substractive.wav',
