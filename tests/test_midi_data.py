@@ -451,3 +451,26 @@ class TestSingleTrackDataset:
             max_polyphony=4)))
         for _ in range(finite + 2):   # runs past one epoch without ending
             next(it)
+
+
+class TestPrefetcher:
+    def test_passes_items_through(self):
+        from ddsp_piano_tpu.data.pipeline import Prefetcher
+        assert list(Prefetcher(iter(range(5)))) == [0, 1, 2, 3, 4]
+
+    def test_worker_errors_propagate(self):
+        """A pipeline failure must surface with its cause, not end the
+        'infinite' iterator as a bare StopIteration (regression: a bad
+        cache made the train loop die with no diagnostic)."""
+        from ddsp_piano_tpu.data.pipeline import Prefetcher
+
+        def boom():
+            yield 1
+            raise ValueError("bad cache")
+
+        it = Prefetcher(boom())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match='pipeline worker failed') \
+                as exc:
+            next(it)
+        assert isinstance(exc.value.__cause__, ValueError)
