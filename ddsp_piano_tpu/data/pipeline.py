@@ -107,6 +107,19 @@ def segment_track(track: Dict[str, np.ndarray],
     return segments
 
 
+def _stack_group(group: Sequence[Dict[str, np.ndarray]]
+                 ) -> Dict[str, np.ndarray]:
+    """Stack a list of segment dicts into one batch dict ('filename' keeps
+    the reference's (batch, 1) string layout)."""
+    batch = {}
+    for k in group[0]:
+        if k == 'filename':
+            batch[k] = np.asarray([[g[k]] for g in group])
+        else:
+            batch[k] = np.stack([g[k] for g in group])
+    return batch
+
+
 def batch_segments(segments: Sequence[Dict[str, np.ndarray]],
                    batch_size: int,
                    drop_remainder: bool = True
@@ -118,13 +131,7 @@ def batch_segments(segments: Sequence[Dict[str, np.ndarray]],
         group = segments[start:start + batch_size]
         if len(group) < batch_size and drop_remainder:
             return
-        batch = {}
-        for k in group[0]:
-            if k == 'filename':
-                batch[k] = np.asarray([[g[k]] for g in group])
-            else:
-                batch[k] = np.stack([g[k] for g in group])
-        yield batch
+        yield _stack_group(group)
 
 
 # -----------------------------------------------------------------------------
@@ -197,7 +204,10 @@ def preprocess_into_cache(cache_dir: str, dataset_dir: str,
     meta = {'split': split, 'sample_rate': sample_rate,
             'frame_rate': frame_rate, 'max_polyphony': max_polyphony,
             'piano_models': [int(y) for y in piano_models],
-            'tracks': index}
+            'tracks': index,
+            # Per-track year so a year-filtered consumer of an unfiltered
+            # cache can subset (and the filter is not silently ignored).
+            'track_years': [int(row['year']) for row in rows]}
     with open(os.path.join(cache_dir, f'index_{split}.json'), 'w') as f:
         json.dump(meta, f)
     return meta
@@ -228,6 +238,14 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
                 f"trainer requested { {k: v[1] for k, v in mismatched.items()} }"
                 f". Re-run preprocess_maestro.py with matching settings.")
         items = list(meta['tracks'])
+        if year is not None:
+            years = meta.get('track_years')
+            if years is None:
+                raise ValueError(
+                    f"year={year} requested but {cache_index!r} predates "
+                    f"per-track year metadata; re-run preprocess_maestro.py "
+                    f"(or drop the year filter).")
+            items = [t for t, y in zip(items, years) if y == year]
         load = lambda name: dict(
             np.load(os.path.join(filename, name), allow_pickle=False))
     else:
@@ -243,6 +261,12 @@ def _iter_tracks(filename: str, split: str, year, sample_rate, frame_rate,
 
     rng = np.random.RandomState(seed)
     epoch = 0
+    if not items:
+        raise ValueError(
+            f"No tracks to load from {filename!r} (split={split!r}, "
+            f"year={year!r}) — an infinite iterator over zero tracks "
+            f"would spin forever.")
+
     pool = ThreadPoolExecutor(max(num_workers, 1))
     # Bounded in-flight window: pool.map would submit the whole epoch at
     # once and decoded tracks (tens of MB each) would pile up with no
@@ -337,13 +361,7 @@ def batch_segments_stream(segments: Iterator[Dict[str, np.ndarray]],
     for seg in segments:
         group.append(seg)
         if len(group) == batch_size:
-            batch = {}
-            for k in group[0]:
-                if k == 'filename':
-                    batch[k] = np.asarray([[g[k]] for g in group])
-                else:
-                    batch[k] = np.stack([g[k] for g in group])
-            yield batch
+            yield _stack_group(group)
             group = []
 
 
@@ -435,6 +453,9 @@ class Prefetcher:
     def __next__(self):
         item = self._queue.get()
         if item is self._done:
+            # Re-queue the sentinel: next() after exhaustion must keep
+            # raising instead of blocking on an empty queue forever.
+            self._queue.put(self._done)
             if self._error is not None:
                 raise RuntimeError(
                     "data pipeline worker failed") from self._error

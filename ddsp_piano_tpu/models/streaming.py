@@ -28,7 +28,6 @@ deviates by 23 % of peak. The filtered-noise synth is chunk-local; its
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -40,16 +39,6 @@ from ddsp_piano_tpu.models import sub_modules as sm
 from ddsp_piano_tpu.models.dag import VectorizedPolyphonicProcessorGroup
 from ddsp_piano_tpu.ops import core, oscillator
 from ddsp_piano_tpu.processors.reverb import FeedbackDelayNetwork, Reverb
-
-
-@dataclasses.dataclass
-class StreamState:
-    context_states: Any          # per-layer GRU states (or None entries)
-    mono_states: Any
-    note_release_state: Any      # (n_synths*b, 2)
-    osc_phase: Any               # (n_synths*b, 1, K) or None (first chunk)
-    prev_controls: Any           # dict of last-frame mono controls or None
-    reverb_tail: Any             # (b, ir_len - 1) or None
 
 
 class StreamingSynthesizer:
@@ -77,7 +66,7 @@ class StreamingSynthesizer:
         self.chunk_frames = chunk_frames
         self.exact_normalize = exact_normalize
         self._chunk_fn = jax.jit(self._chunk_forward)
-        self._scan_fns: Dict[int, Any] = {}   # keyed by n_chunks
+        self._scan_fns: Dict[Any, Any] = {}   # keyed by (n_chunks, dry)
         self._stats_fns: Dict[int, Any] = {}  # keyed by n_chunks
         # (ir_len, fft_len, add_dry) of the hoisted reverb operator; static
         # per synthesizer (set by _static_features before any tracing).
@@ -730,15 +719,20 @@ class StreamingSynthesizer:
                                                                1 << 20))
             up = tail_audio.shape[-1] // C
             # Drop the duplicated first frame; append the flushed frame.
-            return (jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
-                                    axis=1),
-                    jnp.concatenate([dry[:, up:], tail_dry[:, :up]],
-                                    axis=1))
+            wet = jnp.concatenate([audio[:, up:], tail_audio[:, :up]],
+                                  axis=1)
+            if not return_dry:
+                # Trace-time flag: without it the scan would stack and
+                # return a second full-render-length device array only
+                # for the caller to discard.
+                return wet
+            return wet, jnp.concatenate([dry[:, up:], tail_dry[:, :up]],
+                                        axis=1)
 
-        # `run` closes over n_chunks (the scan length), so the compiled fn
-        # must be cached per chunk count — a single cached jit would replay
-        # the first call's length on every later file.
-        if n_chunks not in self._scan_fns:
-            self._scan_fns[n_chunks] = jax.jit(run)
-        audio, dry = self._scan_fns[n_chunks](params, features, rng)
-        return (audio, dry) if return_dry else audio
+        # `run` closes over n_chunks (the scan length) and return_dry, so
+        # the compiled fn must be cached per (chunk count, dry) — a single
+        # cached jit would replay the first call's shape on later files.
+        key = (n_chunks, return_dry)
+        if key not in self._scan_fns:
+            self._scan_fns[key] = jax.jit(run)
+        return self._scan_fns[key](params, features, rng)

@@ -146,6 +146,14 @@ class Trainer:
 
     def distribute_batch(self, batch: Dict[str, np.ndarray]):
         batch = {k: v for k, v in batch.items() if k != 'filename'}
+        from jax.sharding import NamedSharding
+        if all(isinstance(v, jax.Array)
+               and isinstance(v.sharding, NamedSharding)
+               and v.sharding.mesh == self.mesh for v in batch.values()):
+            # Already distributed (e.g. by the distribute_dataset parity
+            # wrapper) — re-sharding would np.asarray global arrays, which
+            # raises on non-addressable shards in a multi-process run.
+            return batch
         return mesh_lib.shard_batch(batch, self.mesh)
 
     def psum(self, value):
