@@ -53,13 +53,13 @@ class GinConfig:
         by_scope = self.bindings.get(name, {})
         out = dict(by_scope.get('', {}))
         if scope:
-            # More specific scopes override; support nested 'a/b' scopes by
-            # applying each suffix of the scope path in order.
+            # Gin precedence: a LONGER (more specific) matching scope
+            # suffix overrides a shorter one, so apply suffixes from
+            # shortest to longest (the full scope last).
             parts = scope.split('/')
-            for i in range(len(parts)):
+            for i in range(len(parts) - 1, -1, -1):
                 key = '/'.join(parts[i:])
                 out.update(by_scope.get(key, {}))
-            out.update(by_scope.get(scope, {}))
         return out if out or default is None else dict(default)
 
 

@@ -339,6 +339,9 @@ def cross_fade(a: Array, b: Array, n: Optional[int] = None) -> Array:
     """Equal-power crossfade of the last n samples of a into first n of b."""
     if n is None:
         n = min(a.shape[-1], b.shape[-1])
+    if n == 0:
+        # a[..., :-0] would be empty and silently drop all of `a`.
+        return jnp.concatenate([a, b], axis=-1)
     t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
     fade_out = jnp.cos(t * math.pi / 2.0)
     fade_in = jnp.sin(t * math.pi / 2.0)

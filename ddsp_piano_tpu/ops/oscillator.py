@@ -58,7 +58,8 @@ def oscillator_bank_envelopes(frequency_envelopes: Array,
                               amplitude_envelopes: Array,
                               sample_rate: int = 16000,
                               sum_sinusoids: bool = True,
-                              use_angular_cumsum: bool = False) -> Array:
+                              use_angular_cumsum: bool = False,
+                              initial_phase: Optional[Array] = None) -> Array:
     """Cosine oscillator bank from sample-rate envelopes.
 
     Mirrors reference cos_oscillator_bank (inharm_synth.py:49-84): Nyquist
@@ -67,6 +68,7 @@ def oscillator_bank_envelopes(frequency_envelopes: Array,
     Args:
         frequency_envelopes: (batch, n_samples, n_sins) in Hz.
         amplitude_envelopes: (batch, n_samples, n_sins).
+        initial_phase: optional (batch, 1, n_sins) carried phase offset.
     Returns:
         (batch, n_samples) if sum_sinusoids else (batch, n_samples, n_sins).
     """
@@ -78,6 +80,8 @@ def oscillator_bank_envelopes(frequency_envelopes: Array,
         phases = core.angular_cumsum(omegas)
     else:
         phases = jnp.cumsum(omegas, axis=1)
+    if initial_phase is not None:
+        phases = phases + core.f32(initial_phase)
     audio = amplitude_envelopes * jnp.cos(phases)
     if sum_sinusoids:
         audio = jnp.sum(audio, axis=-1)
@@ -455,7 +459,8 @@ def harmonic_synthesis(frequencies: Array,
             return audio, framewise_final_phase(controls, up, sample_rate)
         return audio
 
-    # Fallback: reference-exact envelope pipeline.
+    # Fallback: reference-exact envelope pipeline (phase carry honored —
+    # a dropped initial_phase would click at every streaming chunk edge).
     frequency_envelopes = core.resample(harmonic_frequencies, n_samples)
     amplitude_envelopes = core.resample(harmonic_amplitudes, n_samples,
                                         method=amp_resample_method)
@@ -463,9 +468,12 @@ def harmonic_synthesis(frequencies: Array,
                                       amplitude_envelopes,
                                       sample_rate=sample_rate,
                                       sum_sinusoids=sum_sinusoids,
-                                      use_angular_cumsum=use_angular_cumsum)
+                                      use_angular_cumsum=use_angular_cumsum,
+                                      initial_phase=initial_phase)
     if return_final_phase:
         omegas = frequency_envelopes * (_2PI / float(sample_rate))
-        final = jnp.mod(jnp.sum(omegas, axis=1, keepdims=True), _2PI)
-        return audio, final
+        final = jnp.sum(omegas, axis=1, keepdims=True)
+        if initial_phase is not None:
+            final = final + core.f32(initial_phase)
+        return audio, jnp.mod(final, _2PI)
     return audio

@@ -107,3 +107,17 @@ def test_gin_dafx22_forward_matches_python_config():
     b = jax.jit(lambda p, f: py_model(p, f, rng=rng)['audio_synth'])(
         params, feats)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scope_precedence_longer_suffix_wins():
+    """Gin precedence: a more specific (longer) matching scope suffix must
+    override a shorter one, regardless of binding order."""
+    from ddsp_piano_tpu.configs.gin_compat import GinConfig
+
+    cfg = GinConfig(macros={}, bindings={
+        'Dense': {'': {'units': 1},
+                  'c': {'units': 64},
+                  'b/c': {'units': 128}}})
+    assert cfg.get('layers.Dense', scope='a/b/c')['units'] == 128
+    assert cfg.get('layers.Dense', scope='x/c')['units'] == 64
+    assert cfg.get('layers.Dense', scope='z')['units'] == 1

@@ -312,3 +312,24 @@ def test_skip_kernel_partitions_over_batch_mesh():
         gscale = float(jnp.abs(gref).max())
         np.testing.assert_allclose(np.asarray(grad), np.asarray(gref),
                                    atol=2e-3 * gscale)
+
+
+def test_envelope_fallback_honors_initial_phase():
+    """The envelope-pipeline fallback must apply a carried phase (chunked
+    callers would otherwise click at every chunk edge) and report a final
+    phase consistent with chaining."""
+    sr, up = 16000, 63    # n_samples % n_frames != 0 -> envelope fallback
+    f0 = np.full((1, 20, 1), 400.0, np.float32)
+    amps = np.ones((1, 20, 1), np.float32)
+    full, final = oscillator.harmonic_synthesis(
+        f0, amps, n_samples=20 * up, sample_rate=sr, method='framewise',
+        return_final_phase=True)
+    shifted, final2 = oscillator.harmonic_synthesis(
+        f0, amps, n_samples=20 * up, sample_rate=sr, method='framewise',
+        initial_phase=np.full((1, 1, 1), np.pi / 2, np.float32),
+        return_final_phase=True)
+    # A pi/2 phase offset turns cos into -sin: distinct waveforms with the
+    # same envelope, and the final phases differ by exactly pi/2.
+    assert not np.allclose(np.asarray(full), np.asarray(shifted), atol=1e-2)
+    dp = float(np.mod(np.asarray(final2) - np.asarray(final), 2 * np.pi))
+    assert abs(dp - np.pi / 2) < 1e-3
