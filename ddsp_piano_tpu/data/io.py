@@ -57,12 +57,17 @@ def load_midi_as_conditioning(mid_path: str,
     """
     note_sequence = load_midi_as_note_sequence(mid_path)
     midi_roll, pedals = midi_roll_from_sequence(note_sequence, frame_rate)
-    conditioning, _ = roll_to_conditioning(midi_roll, n_synths)
 
     if duration is None:
         target_n_frames = int(np.ceil(note_sequence.total_time) * frame_rate)
     else:
         target_n_frames = int(duration * frame_rate)
+    # Crop BEFORE voice allocation: the allocator is causal frame-by-frame
+    # (bit-identical on a prefix) and is the sequential host hot-spot, so
+    # a --duration 10 request on a 30-minute file must not allocate (and
+    # materialize) the whole performance first.
+    midi_roll = ensure_sequence_length(midi_roll, target_n_frames)
+    conditioning, _ = roll_to_conditioning(midi_roll, n_synths)
     conditioning = ensure_sequence_length(conditioning, target_n_frames)
     pedals = ensure_sequence_length(pedals, target_n_frames)
 

@@ -146,6 +146,9 @@ def parse_midi_bytes(data: bytes) -> MidiSequence:
     if r.read(4) != b'MThd':
         raise ValueError("Not a Standard MIDI File (missing MThd)")
     header_len = struct.unpack('>I', r.read(4))[0]
+    if header_len < 6:
+        # read(header_len - 6) would otherwise rewind the stream.
+        raise ValueError(f"Corrupt MThd header length {header_len}")
     fmt, ntrks, division = struct.unpack('>HHH', r.read(6))
     r.read(header_len - 6)
     if division & 0x8000:
@@ -325,17 +328,32 @@ def sequence_to_pianoroll(sequence: MidiSequence,
         onset_velocities[start:min(onset_end, n_frames), p] = (
             note.velocity / 127.0)
 
-    # Forward-fill control-change values.
-    events_by_frame: Dict[int, List[ControlChange]] = {}
+    # Forward-fill control-change values: write each event at its frame,
+    # then carry values forward with a segment fill per controller
+    # (vectorized — a per-frame Python loop with a 128-wide copy took
+    # seconds of host time on multi-minute files).
+    events: Dict[int, List[tuple]] = {}
     for cc in sequence.control_changes:
         frame = int(np.floor(cc.time * fps))
         if frame < n_frames:
-            events_by_frame.setdefault(frame, []).append(cc)
-    current = np.zeros(128, np.int32)
-    for f in range(n_frames):
-        for cc in events_by_frame.get(f, ()):
-            current[cc.control] = cc.value
-        control_changes[f] = current
+            events.setdefault(cc.control, []).append((frame, cc.value))
+    for control, evs in events.items():
+        # Stable sort on the frame only: same-frame events keep file
+        # order so the LAST event in the file wins, as before.
+        evs.sort(key=lambda fv: fv[0])
+        frames = [f for f, _ in evs]
+        values = [v for _, v in evs]
+        # Dedup same-frame events keeping the last.
+        frames_u, values_u = [], []
+        for f, v in zip(frames, values):
+            if frames_u and frames_u[-1] == f:
+                values_u[-1] = v
+            else:
+                frames_u.append(f)
+                values_u.append(v)
+        bounds = frames_u + [n_frames]
+        for (f0, v), f1 in zip(zip(frames_u, values_u), bounds[1:]):
+            control_changes[f0:f1, control] = v
     return Pianoroll(active=active, onset_velocities=onset_velocities,
                      control_changes=control_changes)
 

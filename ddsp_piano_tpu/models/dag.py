@@ -24,11 +24,17 @@ def polyphonic_dag(additive: Processor,
                    noise: Processor,
                    reverb: Optional[Processor] = None,
                    additive_controls: Sequence[str] = (
-                       'amplitudes', 'harmonic_distribution', 'f0_hz'),
-                   noise_controls: Sequence[str] = ('noise_magnitudes',),
+                       'amplitudes', 'harmonic_distribution', 'inharm_coef',
+                       'f0_hz'),
+                   noise_controls: Sequence[str] = ('magnitudes',),
                    reverb_controls: Sequence[str] = (),
                    n_synths: int = 16) -> List[Tuple[Processor, List[str]]]:
-    """Build the reference-style per-voice DAG for a ProcessorGroup."""
+    """Build the reference-style per-voice DAG for a ProcessorGroup.
+
+    Defaults match this framework's Parallelizer key names and the
+    InHarmonic control signature (the reference's gin defaults —
+    polyphonic_dag.py:6-9 'amps'/'noise_magnitudes' — are likewise
+    unusable without explicit binding; every shipped config binds them)."""
     add = MultiAdd(name='add')
     dag: List[Tuple[Processor, List[str]]] = []
     dag.append((additive, [c + '_0' for c in additive_controls]))

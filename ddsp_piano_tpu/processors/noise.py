@@ -207,6 +207,8 @@ class NoiseBandNetSynth(Processor):
         self.scale_fn = scale_fn
         self.upsampling = upsampling
         self.sample_rate = sample_rate
+        # Accepted for config parity only: the reference stores this flag
+        # and never reads it either (filtered_noise_synth.py:199).
         self.inference = inference
         fb = FilterBank(n_filters_linear=n_band // 2,
                         n_filters_log=n_band // 2,

@@ -101,10 +101,16 @@ def main(args):
     from ddsp_piano_tpu.data import audio_io
     from ddsp_piano_tpu.data.io import load_midi_as_conditioning
 
+    # Probe the config's rates/polyphony BEFORE rasterizing the MIDI (a
+    # gin override of frame_rate or n_synths must shape the conditioning;
+    # model construction is weight-free and cheap, so build twice).
+    probe = get_model(args.config, inference=True, duration=1.0)
     logging.info("Loading midi file...")
     inputs = load_midi_as_conditioning(args.midi_file,
                                        duration=args.duration,
-                                       warm_up_duration=args.warm_up)
+                                       warm_up_duration=args.warm_up,
+                                       frame_rate=probe.frame_rate,
+                                       n_synths=probe.n_synths)
     inputs['piano_model'] = np.asarray([[args.piano_type]], np.int32)
     logging.info("Midi file loaded (with duration %s s). "
                  "Now building the piano synthesizer...",
@@ -125,6 +131,10 @@ def main(args):
     if args.streaming:
         from ddsp_piano_tpu.models.streaming import StreamingSynthesizer
         chunk_frames = int(args.chunk_seconds * model.frame_rate)
+        if chunk_frames < 1:
+            raise SystemExit(
+                f"--chunk_seconds {args.chunk_seconds} is below one frame "
+                f"period (1/{model.frame_rate} s).")
         total = features['conditioning'].shape[1]
         if total % chunk_frames:  # right-pad to a whole number of chunks
             pad = chunk_frames - total % chunk_frames
