@@ -17,6 +17,7 @@ import sys
 def main():
     pid, nproc, port, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
                                  int(sys.argv[3]), sys.argv[4])
+    use_real_model = len(sys.argv) > 5 and sys.argv[5] == 'model'
     os.environ['JAX_PLATFORMS'] = 'cpu'
 
     import jax
@@ -38,6 +39,30 @@ def main():
     import _multihost_common as common
     from ddsp_piano_tpu.parallel import mesh as mesh_lib
     from ddsp_piano_tpu.training.trainer import Trainer
+
+    if use_real_model:
+        # Real tiny dafx22 train steps across processes: the full model
+        # graph (GRU scans, oscillator, noise FIR, reverb FFT, losses)
+        # under GSPMD with per-host batch shards.
+        from ddsp_piano_tpu.configs import get_model
+        from ddsp_piano_tpu.data.pipeline import get_dummy_data
+
+        model = get_model('dafx22', duration=0.5, n_synths=4)
+        mesh = mesh_lib.get_mesh_for_batch(4)
+        global_batch = get_dummy_data(batch_size=4, duration=0.5,
+                                      sample_rate=16000, n_synths=4)
+        local_batch = mesh_lib.slice_local_batch(global_batch)
+        trainer = Trainer(model, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        for _ in range(2):
+            state, losses = trainer.train_step(state, local_batch)
+        trainer.check_pending()
+        with open(os.path.join(out_dir, f'model_result_{pid}.json'),
+                  'w') as f:
+            json.dump({'total_loss': float(losses['total_loss']),
+                       'step': int(state.step)}, f)
+        print(f'worker {pid} MODEL OK', flush=True)
+        return
 
     # Global mesh over all processes' devices; each host feeds its slice.
     mesh = mesh_lib.get_mesh_for_batch(common.GLOBAL_BATCH)

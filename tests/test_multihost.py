@@ -133,3 +133,49 @@ def test_train_cli_exposes_multihost_flags():
     assert args.coordinator_address == 'h:1234'
     assert args.num_processes == 4
     assert args.process_id == 2
+
+
+@pytest.mark.skipif(os.environ.get('DDSP_SLOW_TESTS') != '1',
+                    reason="2-process real-model smoke (~3 min on the "
+                           "1-core host); set DDSP_SLOW_TESTS=1")
+def test_real_model_trains_across_processes(tmp_path):
+    """Two dafx22 train steps across a spawned 2-process cluster equal
+    single-process training on the global batch — the full model graph
+    (GRU scans, oscillator, noise FIR, reverb FFT, losses) under GSPMD
+    with per-host shards, not just the toy problem."""
+    out_dir = str(tmp_path)
+    port = _free_port()
+    env = dict(os.environ)
+    env['PYTHONPATH'] = os.pathsep.join(
+        [REPO_DIR, TESTS_DIR, env.get('PYTHONPATH', '')])
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(TESTS_DIR, 'multihost_worker.py'),
+         str(pid), '2', str(port), out_dir, 'model'],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {pid} failed:\n{out}'
+    results = [json.load(open(os.path.join(out_dir,
+                                           f'model_result_{pid}.json')))
+               for pid in range(2)]
+    assert results[0] == results[1]
+
+    import jax
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.data.pipeline import get_dummy_data
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+    from ddsp_piano_tpu.training.trainer import Trainer
+
+    model = get_model('dafx22', duration=0.5, n_synths=4)
+    trainer = Trainer(model, mesh=mesh_lib.get_mesh_for_batch(4))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = get_dummy_data(batch_size=4, duration=0.5, sample_rate=16000,
+                           n_synths=4)
+    for _ in range(2):
+        state, losses = trainer.train_step(state, batch)
+    trainer.check_pending()
+    want = float(losses['total_loss'])
+    assert results[0]['total_loss'] == pytest.approx(want, rel=1e-4)
