@@ -1,17 +1,40 @@
 #!/usr/bin/env python
-"""Benchmark: synthesis realtime factor per chip (the headline metric).
+"""Benchmark: the full headline set, ONE JSON line.
 
-Protocol: flagship maestro-v2 inference model, 16-voice polyphony at
-24 kHz, batch 1, realistic chordal conditioning; steady-state wall time per
-jitted forward (post-compile, block_until_ready). Prints ONE JSON line:
-{"metric": "realtime_factor", "value": N, "unit": "audio_s_per_wall_s",
- "vs_baseline": N / 200}  -- 200x is the BASELINE.md north-star target --
-plus informational keys on the same line: "aggregate_b8" (per-chip
-audio-seconds/wall-second with a batch-8 forward, the serving-throughput
-number) and a roofline block from XLA's compiled cost analysis ("flops",
-"mfu_pct" vs the chip's bf16 peak, "hbm_util_pct" vs peak HBM bandwidth —
-this model is VPU/HBM-bound, not MXU-bound, so low MFU with high HBM
-utilization is the expected signature).
+Headline metric (matches BASELINE.md's north star): synthesis realtime
+factor per chip — flagship maestro-v2 inference model, 16-voice polyphony
+at 24 kHz, batch 1, realistic chordal conditioning; steady-state wall time
+per jitted forward (post-compile, block_until_ready). {"metric":
+"realtime_factor", "value": N, "unit": "audio_s_per_wall_s",
+"vs_baseline": N / 200} — 200x is the north-star target.
+
+Additional keys on the same line (the round-2 wins BASELINE.md claims, so
+a regression in any of them is driver-visible, VERDICT r2 item 4):
+- "aggregate_b8": per-chip audio-seconds/wall-second at batch 8 (serving).
+- "train_step_ms": dafx22 recipe-shape training step (b=6, 3 s), 30-step
+  steady state on dummy batches.
+- "streaming_x" / "streaming_dafx22_x": 180 s file rendered by the
+  chunked-scan streaming engine (4 s chunks, the CLI default). Protocol
+  per BASELINE.md: compute only — the device->host copy of the 17 MB
+  result costs ~1 s through the relayed chip and is excluded (the render
+  returns a device array), matching the one-shot timing convention.
+- "eval_segment_ms": evaluation-sweep device time per 10 s dafx22 segment
+  at batch 8 (the evaluate_model.py protocol, incl. vmapped
+  per-segment-rng forward — round 3 re-enabled the Pallas oscillator
+  here via its custom_vmap batching rule).
+- Per-stage forward breakdown ("stage_*_ms", VERDICT r2 item 9): control
+  path (GRU/NoteRelease scans), processor group, and its oscillator /
+  noise / reverb components, each timed as an independently-jitted
+  program over materialized intermediates. Stages lose cross-stage XLA
+  fusion, so their sum can exceed the fused forward slightly — they
+  attribute cost, the fused number is the headline.
+- Roofline keys from XLA's compiled cost analysis ("flops", "mfu_pct" vs
+  bf16 peak, "hbm_util_pct" vs peak HBM bandwidth — this model is
+  VPU/HBM-bound, so low MFU with high HBM utilization is the expected
+  signature).
+
+Every extra section is individually fault-isolated: a failure prints a
+"<key>_error" string on the line instead of killing the headline metric.
 """
 
 import json
@@ -20,11 +43,11 @@ import time
 import numpy as np
 
 
-def build_inputs(duration, n_synths=16, frame_rate=250):
+def build_inputs(duration, n_synths=16, frame_rate=250, batch=1):
     """Chordal conditioning exercising all voices."""
     rng = np.random.RandomState(0)
     n_frames = int(duration * frame_rate)
-    cond = np.zeros((1, n_frames, n_synths, 2), np.float32)
+    cond = np.zeros((batch, n_frames, n_synths, 2), np.float32)
     # 8 sustained chord voices + 8 voices with repeated notes.
     for v in range(n_synths):
         pitch = 36.0 + 5 * v
@@ -35,8 +58,8 @@ def build_inputs(duration, n_synths=16, frame_rate=250):
             for start in range(10, n_frames - 50, 125):
                 cond[:, start:start + 100, v, 0] = pitch
                 cond[:, start:start + 8, v, 1] = 0.9
-    pedal = np.zeros((1, n_frames, 4), np.float32)
-    piano_model = np.asarray([[5]], np.int32)
+    pedal = np.zeros((batch, n_frames, 4), np.float32)
+    piano_model = np.full((batch, 1), 5, np.int32)
     return {'conditioning': cond, 'pedal': pedal,
             'piano_model': piano_model}
 
@@ -47,23 +70,22 @@ PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES_PER_S = 819e9
 
 
-def _time_forward(forward, params, feats, n_iters=100):
-    """Steady-state seconds per forward (N>=100: relay timings with
-    N<=50 iterations are unreliable)."""
-    audio = forward(params, feats)
-    audio.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        audio = forward(params, feats)
-    audio.block_until_ready()
-    return (time.perf_counter() - t0) / n_iters, audio
-
-
-def main():
+def _time_fn(fn, *args, n_iters=100):
+    """Steady-state seconds per call (N>=100: relay timings with N<=50
+    iterations are unreliable). Blocks on the last in-order output."""
     import jax
 
-    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
-    enable_compilation_cache()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters, out
+
+
+def _headline(results):
+    import jax
     import jax.numpy as jnp
 
     from ddsp_piano_tpu.configs import get_model
@@ -78,10 +100,12 @@ def main():
     def forward(params, feats):
         return model(params, feats, rng=jax.random.PRNGKey(0))['audio_synth']
 
-    wall, audio = _time_forward(forward, params, feats)
+    wall, audio = _time_fn(forward, params, feats)
     assert audio.shape == (1, int(duration * sample_rate))
     assert bool(jnp.isfinite(audio).all())
-    value = duration / wall
+    results['value'] = round(duration / wall, 2)
+    results['vs_baseline'] = round(duration / wall / 200.0, 4)
+    results['forward_ms'] = round(wall * 1e3, 3)
 
     # Roofline from the compiled executable's own cost model.
     try:
@@ -92,24 +116,193 @@ def main():
         hbm_bytes = float(cost.get('bytes accessed', 0.0))
     except Exception:
         flops = hbm_bytes = 0.0
+    results['flops'] = flops
+    results['mfu_pct'] = round(100 * flops / wall / PEAK_BF16_FLOPS, 2)
+    results['hbm_util_pct'] = round(
+        100 * hbm_bytes / wall / PEAK_HBM_BYTES_PER_S, 2)
 
     # Aggregate serving throughput: batch-8 forward on one chip.
-    feats8 = {k: jnp.asarray(np.repeat(v, 8, axis=0))
-              for k, v in build_inputs(duration).items()}
-    wall8, _ = _time_forward(forward, params, feats8)
-    aggregate_b8 = 8 * duration / wall8
+    feats8 = {k: jnp.asarray(v)
+              for k, v in build_inputs(duration, batch=8).items()}
+    wall8, _ = _time_fn(forward, params, feats8)
+    results['aggregate_b8'] = round(8 * duration / wall8, 2)
+    return model, params, feats, duration
 
-    print(json.dumps({
-        'metric': 'realtime_factor',
-        'value': round(value, 2),
-        'unit': 'audio_s_per_wall_s',
-        'vs_baseline': round(value / 200.0, 4),
-        'aggregate_b8': round(aggregate_b8, 2),
-        'flops': flops,
-        'mfu_pct': round(100 * flops / wall / PEAK_BF16_FLOPS, 2),
-        'hbm_util_pct': round(
-            100 * hbm_bytes / wall / PEAK_HBM_BYTES_PER_S, 2),
-    }))
+
+def _stage_breakdown(results, model, params, feats):
+    """Attribute the forward to control path / oscillator / noise / reverb
+    (independently-jitted stages over materialized intermediates)."""
+    import jax
+    import jax.numpy as jnp
+
+    pg = model.processor_group
+    batch = feats['conditioning'].shape[0]
+
+    def control_path(p, f):
+        f = dict(f)
+        f = model.compute_global_features(p, f, False)
+        f = model.parallelizer.parallelize(f)
+        f = model.compute_monophonic_features(p, f, False)
+        return model.parallelizer.unparallelize(f, batch)
+
+    ctrl_keys = list(pg.additive_controls) + list(pg.noise_controls) \
+        + list(pg.reverb_controls)
+    ctrl_fn = jax.jit(lambda p, f: {k: control_path(p, f)[k]
+                                    for k in ctrl_keys})
+    wall_ctrl, ctrl_feats = _time_fn(ctrl_fn, params, feats)
+    results['stage_ctrl_ms'] = round(wall_ctrl * 1e3, 3)
+
+    rng = jax.random.PRNGKey(0)
+    pg_params = params.get('processor_group', {})
+
+    def fold(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    def osc_only(cf):
+        args = [fold(cf[c]) for c in pg.additive_controls]
+        p = pg_params.get(pg.additive.name, {})
+        c = pg.additive.get_controls(p, *args)
+        return pg.additive.get_signal(p, rng=rng, **c)
+
+    def noise_only(cf):
+        args = [fold(cf[c]) for c in pg.noise_controls]
+        p = pg_params.get(pg.noise.name, {})
+        c = pg.noise.get_controls(p, *args)
+        return pg.noise.get_signal(p, rng=rng, **c)
+
+    wall_osc, sig_add = _time_fn(jax.jit(osc_only), ctrl_feats)
+    results['stage_osc_ms'] = round(wall_osc * 1e3, 3)
+    wall_noise, sig_noise = _time_fn(jax.jit(noise_only), ctrl_feats)
+    results['stage_noise_ms'] = round(wall_noise * 1e3, 3)
+
+    if pg.reverb is not None:
+        n = model.n_synths
+        mix = (sig_add + sig_noise).reshape(
+            n, batch, sig_add.shape[-1]).sum(axis=0)
+        mix = jax.device_put(mix)
+
+        def reverb_only(cf, mix):
+            p = pg_params.get(pg.reverb.name, {})
+            args = [mix] + [cf[c] for c in pg.reverb_controls]
+            c = pg.reverb.get_controls(p, *args)
+            return pg.reverb.get_signal(p, rng=rng, **c)
+
+        wall_rev, _ = _time_fn(jax.jit(reverb_only), ctrl_feats, mix)
+        results['stage_reverb_ms'] = round(wall_rev * 1e3, 3)
+
+    def synth_only(cf):
+        return pg(pg_params, dict(feats, **{
+            k: v for k, v in cf.items()}), rng=rng)['signal']
+
+    wall_synth, _ = _time_fn(jax.jit(synth_only), ctrl_feats)
+    results['stage_synth_ms'] = round(wall_synth * 1e3, 3)
+
+
+def _train_step(results):
+    """dafx22 recipe-shape training step (BASELINE.md row: 53 ms r2)."""
+    import jax
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.data.pipeline import get_dummy_data
+    from ddsp_piano_tpu.training.trainer import Trainer
+
+    model = get_model('dafx22', duration=3.0)
+    trainer = Trainer(model, learning_rate=1e-3, first_phase=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = get_dummy_data(batch_size=6, duration=3.0, sample_rate=16000)
+
+    # Warm-up (compile) + 30-step steady state; block on the final state.
+    state, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(state.params)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, losses = trainer.train_step(state, batch)
+    jax.block_until_ready(state.params)
+    results['train_step_ms'] = round((time.perf_counter() - t0) / n * 1e3, 2)
+
+
+def _streaming(results, key, config, sample_rate):
+    """180 s chunked-scan streaming render (4 s chunks, CLI default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.models.streaming import StreamingSynthesizer
+
+    duration = 180.0
+    chunk_seconds = 4.0
+    model = get_model(config, duration=chunk_seconds, inference=True)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = {k: jnp.asarray(v) for k, v in build_inputs(duration).items()}
+    synth = StreamingSynthesizer(
+        model, chunk_frames=int(chunk_seconds * model.frame_rate))
+
+    wall, audio = _time_fn(
+        lambda p, f: synth.synthesize_scanned(p, f), params, feats,
+        n_iters=10)
+    assert audio.shape[-1] == int(duration * sample_rate), audio.shape
+    results[key] = round(duration / wall, 2)
+
+
+def _eval_segment(results):
+    """Device time per 10 s dafx22 eval segment at b=8 (the
+    evaluate_model.py vmapped per-segment-rng protocol; r2: 32.7 ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_piano_tpu.configs import get_model
+    from ddsp_piano_tpu.data.pipeline import get_dummy_data
+
+    b = 8
+    model = get_model('dafx22', duration=10.0, inference=True)
+    params = model.init(jax.random.PRNGKey(0))
+    spec_loss = next(l for l in model.loss_objs
+                     if l.name == 'audio_stft_loss')
+    batch = {k: jnp.asarray(v) for k, v in get_dummy_data(
+        batch_size=b, duration=10.0, sample_rate=16000).items()}
+    seg_indices = jnp.arange(b)
+
+    def eval_fn(p, batch, seg_indices):
+        def single(elem, seg_idx):
+            elem = jax.tree.map(lambda v: v[None], elem)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), seg_idx)
+            outs = model(p, elem, training=True, rng=rng)
+            synth = outs[spec_loss.output_key]
+            if spec_loss.extract_signal:
+                synth = synth['signal']
+            return (spec_loss.compute_per_element(elem['audio'], synth)[0],
+                    outs['audio_synth'][0])
+
+        return jax.vmap(single)(batch, seg_indices)
+
+    wall, _ = _time_fn(jax.jit(eval_fn), params, batch, seg_indices)
+    results['eval_segment_ms'] = round(wall / b * 1e3, 2)
+
+
+def main():
+    from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {'metric': 'realtime_factor', 'value': 0.0,
+               'unit': 'audio_s_per_wall_s', 'vs_baseline': 0.0}
+    model, params, feats, _ = _headline(results)
+
+    for name, fn, args in [
+            ('stage', _stage_breakdown, (model, params, feats)),
+            ('train_step', _train_step, ()),
+            ('streaming', _streaming,
+             ('streaming_x', 'maestro_v2', 24000)),
+            ('streaming_dafx22', _streaming,
+             ('streaming_dafx22_x', 'dafx22', 16000)),
+            ('eval_segment', _eval_segment, ()),
+    ]:
+        try:
+            fn(results, *args)
+        except Exception as e:  # fault-isolate: keep the headline line
+            results[f'{name}_error'] = f'{type(e).__name__}: {e}'[:200]
+
+    print(json.dumps(results))
 
 
 if __name__ == '__main__':

@@ -92,7 +92,14 @@ def decode_audio_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
         raise RuntimeError(
             f"ffmpeg failed to decode {path!r}: "
             f"{proc.stderr.decode(errors='replace').strip()}")
-    return np.frombuffer(proc.stdout, '<f4').astype(np.float32)
+    samples = np.frombuffer(proc.stdout, '<f4').astype(np.float32)
+    if samples.size == 0:
+        raise RuntimeError(
+            f"ffmpeg decoded zero samples from {path!r} (corrupt or empty "
+            f"stream): {proc.stderr.decode(errors='replace').strip()}")
+    # Lossy codecs routinely decode slightly outside [-1, 1]; clamp to keep
+    # load_audio_as_signal's documented range contract.
+    return np.clip(samples, -1.0, 1.0)
 
 
 def _is_wav(path: str) -> bool:

@@ -188,6 +188,13 @@ def _frequency_filter_conv(audio: Array, magnitudes: Array,
     return crop_and_compensate_delay(out, n, ir_size, padding, -1)
 
 
+# Precision of the linmap/DFT-as-matmul einsums below. HIGHEST keeps the
+# rewrite exact-f32 on TPU (default matmul precision there is bf16, which
+# would silently cost ~3 digits on the default noise path while the CPU-run
+# golden tests stay green). Module-level so benchmarks can A/B it.
+LINMAP_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _frequency_filter_linmap(audio: Array, magnitudes: Array,
                              window_size: int, padding: str) -> Array:
     """Framed time-varying filtering with the IR SPECTRA computed as one
@@ -213,8 +220,9 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
     fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
     basis_fft = jnp.fft.rfft(basis, n=fft_size, axis=-1)   # (K, F) complex
     mags = core.f32(magnitudes)
-    ir_re = jnp.einsum('btk,kf->btf', mags, basis_fft.real)
-    ir_im = jnp.einsum('btk,kf->btf', mags, basis_fft.imag)
+    hi = LINMAP_PRECISION
+    ir_re = jnp.einsum('btk,kf->btf', mags, basis_fft.real, precision=hi)
+    ir_im = jnp.einsum('btk,kf->btf', mags, basis_fft.imag, precision=hi)
 
     pad = n_frames * frame_size - n
     audio_frames = jnp.pad(audio, ((0, 0), (0, pad))).reshape(
@@ -230,8 +238,8 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
         # lowering for the noise synth's (16, 1000) x 96-in-512 shapes.
         w = jnp.fft.rfft(jnp.eye(frame_size, dtype=jnp.float32),
                          n=fft_size, axis=-1)               # (fs, F)
-        a_re = jnp.einsum('btj,jf->btf', audio_frames, w.real)
-        a_im = jnp.einsum('btj,jf->btf', audio_frames, w.imag)
+        a_re = jnp.einsum('btj,jf->btf', audio_frames, w.real, precision=hi)
+        a_im = jnp.einsum('btj,jf->btf', audio_frames, w.imag, precision=hi)
         p_re = a_re * ir_re - a_im * ir_im
         p_im = a_re * ir_im + a_im * ir_re
         n_freqs = fft_size // 2 + 1
@@ -239,8 +247,9 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
                             n=fft_size, axis=-1)[:, :conv_size]  # (F, conv)
         inv_im = jnp.fft.irfft(1j * jnp.eye(n_freqs, dtype=jnp.complex64),
                                n=fft_size, axis=-1)[:, :conv_size]
-        out_frames = (jnp.einsum('btf,fm->btm', p_re, inv)
-                      + jnp.einsum('btf,fm->btm', p_im, inv_im))
+        out_frames = (jnp.einsum('btf,fm->btm', p_re, inv, precision=hi)
+                      + jnp.einsum('btf,fm->btm', p_im, inv_im,
+                                   precision=hi))
     else:
         ir_fft = jax.lax.complex(ir_re, ir_im)
         audio_fft = jnp.fft.rfft(audio_frames, n=fft_size, axis=-1)

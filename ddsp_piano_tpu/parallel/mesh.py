@@ -42,6 +42,12 @@ def get_mesh_for_batch(batch_size: int, n_devices: Optional[int] = None,
         # Every process's devices must participate in a multi-process mesh
         # (a subset mesh would leave some hosts' devices out of the
         # program, which GSPMD rejects at dispatch).
+        if n_devices is not None and n_devices != len(jax.devices()):
+            import warnings
+            warnings.warn(
+                f"--n_devices={n_devices} is ignored in multi-process runs: "
+                f"all {len(jax.devices())} global devices must participate "
+                f"in the mesh.", stacklevel=2)
         n = len(jax.devices())
         if batch_size % n != 0:
             raise ValueError(

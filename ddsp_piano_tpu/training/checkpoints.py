@@ -348,6 +348,47 @@ def _get_path(tree, slot, path):
     return node
 
 
+def export_tf_weights(model, params, ckpt_path: str) -> str:
+    """Write a parameter pytree as a reference-compatible TF checkpoint.
+
+    The write-side inverse of import_tf_weights: every variable goes under
+    the Keras object path the reference's own `tf.train.Checkpoint(model=
+    model)` layout uses (model_weights/dafx22/ckpt-0 names), so a model
+    trained or fine-tuned in this framework can be handed back to the
+    reference tooling (its restore path:
+    /root/reference/train_single_phase.py:153-155,
+    synthesize_midi_file.py:68) — TF object-based restore resolves
+    variables by these structural paths.
+
+    TensorFlow is used host-side only. Returns the written prefix
+    (readable by tf.train.load_checkpoint / import_tf_weights).
+    """
+    import tensorflow as tf  # host-side writer only
+
+    mapping = tf_name_map(model, params)
+    root = tf.train.Checkpoint()
+    nodes = {(): root}
+
+    def get_node(parts: Tuple[str, ...]):
+        if parts in nodes:
+            return nodes[parts]
+        parent = get_node(parts[:-1])
+        child = tf.train.Checkpoint()
+        setattr(parent, parts[-1], child)
+        nodes[parts] = child
+        return child
+
+    for tf_name, (slot, path) in mapping.items():
+        parts = tuple(tf_name.split('/'))
+        parent = get_node(parts[:-1])
+        value = np.asarray(_get_path(params, slot, path))
+        setattr(parent, parts[-1], tf.Variable(value))
+
+    outer = tf.train.Checkpoint(model=root)
+    os.makedirs(os.path.dirname(os.path.abspath(ckpt_path)), exist_ok=True)
+    return outer.write(ckpt_path)
+
+
 def import_tf_weights(model, params, ckpt_path: str,
                       strict: bool = True):
     """Load a released TF checkpoint into a PianoModel parameter pytree.

@@ -86,12 +86,6 @@ def _concat_group(group, np, batch_size):
 def main(args):
     import jax
 
-    # The per-segment-rng eval step vmaps the model forward, and jax.vmap
-    # has no batching rule for the partitioned Pallas oscillator
-    # (custom_partitioning primitive) — pin the vmappable jnp renderer.
-    # Read at trace time; set before the eval step is built.
-    os.environ['DDSP_PIANO_TPU_PALLAS'] = '0'
-
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
@@ -173,7 +167,10 @@ def main(args):
         if args.get_wav:
             audio_host = np.asarray(audio_synth)
             for j, meta in enumerate(metas):
-                wav_name = meta['filename'].split('/')[-1] + '.wav'
+                # Segment index in the name: every 10 s segment of a track
+                # shares meta['filename'], so a bare name would overwrite.
+                base = meta['filename'].split('/')[-1]
+                wav_name = f"{base}_{n_segments - n_valid + j:04d}.wav"
                 audio_io.write_wav(osjoin(args.out_dir, 'wav', wav_name),
                                    audio_host[j], model.sample_rate)
 

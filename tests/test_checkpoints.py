@@ -82,6 +82,62 @@ def test_dafx22_ckpt_synthesizes_piano_like_audio():
     assert peak_region > 20 * background
 
 
+@needs_ref
+def test_export_tf_weights_reference_readable(tmp_path):
+    """Exported dafx22 weights are a reference-loadable TF checkpoint:
+    tf.train.load_checkpoint reads 32/32 variables under the released
+    checkpoint's exact names with bit-equal values, and a re-import
+    round-trips the pytree bitwise."""
+    import tensorflow as tf
+
+    model = get_model('dafx22', duration=0.5, inference=True)
+    params = model.init(jax.random.PRNGKey(0))
+    params, _ = checkpoints.import_tf_weights(model, params, DAFX22_CKPT)
+
+    prefix = checkpoints.export_tf_weights(model, params,
+                                           str(tmp_path / 'ckpt-0'))
+
+    # Same variable-name surface as the released checkpoint.
+    released = checkpoints.read_tf_checkpoint(DAFX22_CKPT)
+    exported = checkpoints.read_tf_checkpoint(prefix)
+    assert set(exported) == set(released), sorted(
+        set(exported) ^ set(released))
+    assert len(exported) == 32
+    # Bit-equal values through the reference's own reader.
+    reader = tf.train.load_checkpoint(prefix)
+    for name, released_val in released.items():
+        got = reader.get_tensor(f'model/{name}/.ATTRIBUTES/VARIABLE_VALUE')
+        np.testing.assert_array_equal(got, released_val, err_msg=name)
+
+    # Round-trip: export -> import -> bitwise-equal pytree.
+    fresh = model.init(jax.random.PRNGKey(1))
+    back, report = checkpoints.import_tf_weights(model, fresh, prefix)
+    assert not report['missing'] and not report['unused']
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v2_import_numerics_via_synthetic_export(tmp_path):
+    """The v2 importer's VALUES path, exercised end-to-end: a synthetic
+    v2-shaped TF checkpoint (this framework's own randomly-initialized
+    maestro-v2 exported through the reference's variable names) imports
+    back bitwise. Until round 2 only the index *shapes* were tested — the
+    released v2 data blob is absent from the mount."""
+    model = get_model('maestro_v2', duration=0.5)
+    params = model.init(jax.random.PRNGKey(3))
+    prefix = checkpoints.export_tf_weights(model, params,
+                                           str(tmp_path / 'ckpt-225000'))
+    fresh = model.init(jax.random.PRNGKey(4))
+    back, report = checkpoints.import_tf_weights(model, fresh, prefix)
+    assert not report['missing'] and not report['mismatched']
+    assert not report['unused']
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
 V2_CKPT = '/root/reference/ddsp_piano/model_weights/v2/ckpt-225000'
 
 

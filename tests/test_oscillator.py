@@ -314,6 +314,57 @@ def test_skip_kernel_partitions_over_batch_mesh():
                                    atol=2e-3 * gscale)
 
 
+def test_skip_kernel_vmap_collapses_into_batch():
+    """jax.vmap over the default skipping backend works — the round-3
+    custom_vmap rule collapses the mapped axis into the kernel's batch dim
+    (one kernel launch over (V*B, ...)), and gradients flow under vmap.
+    This is the eval CLI's per-segment-rng pattern (evaluate_model.py),
+    which round 2 had to pin to the jnp renderer."""
+    from unittest import mock
+
+    import jax
+
+    from ddsp_piano_tpu.kernels import oscillator_pallas as kp
+
+    sr, up, K, V, b, n_frames = 16000, 16, 16, 3, 2, 24
+    rng = np.random.RandomState(7)
+    f0 = rng.uniform(80, 2000, (V, b, n_frames, 1)).astype(np.float32)
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(V, b, n_frames, K).astype(np.float32)
+    controls = jax.vmap(
+        lambda f, a: oscillator.framewise_osc_controls(f, a, up, sr))(
+            jnp.asarray(freqs), jnp.asarray(amps))
+
+    orig_fwd = kp.render_framewise_pallas_skip
+    orig_bwd = kp.render_framewise_pallas_skip_vjp
+    with mock.patch.object(kp, 'render_framewise_pallas_skip',
+                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+         mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
+                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
+        out = jax.jit(jax.vmap(lambda c: oscillator.render_framewise(
+            c, up, sr, backend='pallas_skip')))(controls)
+
+        def loss(a_lo, rest):
+            c = rest._replace(a_lo=a_lo)
+            return jnp.sum(oscillator.render_framewise(
+                c, up, sr, backend='pallas_skip') ** 2)
+
+        grad = jax.jit(jax.vmap(jax.grad(loss)))(controls.a_lo, controls)
+
+    want = jax.vmap(lambda c: oscillator.render_framewise(
+        c, up, sr, backend='jnp'))(controls)
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-3 * scale)
+    gwant = jax.vmap(jax.grad(
+        lambda a, rest: jnp.sum(oscillator.render_framewise(
+            rest._replace(a_lo=a), up, sr, backend='jnp') ** 2)))(
+                controls.a_lo, controls)
+    gscale = float(jnp.abs(gwant).max())
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(gwant),
+                               atol=2e-3 * gscale)
+
+
 def test_envelope_fallback_honors_initial_phase():
     """The envelope-pipeline fallback must apply a carried phase (chunked
     callers would otherwise click at every chunk edge) and report a final
