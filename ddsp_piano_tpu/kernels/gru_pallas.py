@@ -55,12 +55,17 @@ def _gru_kernel(xz_ref, xr_ref, xh_ref, wz_ref, wr_ref, wh_ref, b_ref,
 
     def body(t, carry):
         h = h_ref[:]
-        rz = jnp.dot(h, wz_ref[:], preferred_element_type=jnp.float32)
-        rr = jnp.dot(h, wr_ref[:], preferred_element_type=jnp.float32)
-        rh = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
-        z = jax.nn.sigmoid(xz_ref[t] + rz + bz)
-        r = jax.nn.sigmoid(xr_ref[t] + rr + br)
-        hh = jnp.tanh(xh_ref[t] + r * (rh + bh))
+        # Bias association matches the scan step (rec = h U + b_rec, THEN
+        # + x) so the kernel is bit-compatible with nn/layers.py GRU.
+        rz = jnp.dot(h, wz_ref[:],
+                     preferred_element_type=jnp.float32) + bz
+        rr = jnp.dot(h, wr_ref[:],
+                     preferred_element_type=jnp.float32) + br
+        rh = jnp.dot(h, wh_ref[:],
+                     preferred_element_type=jnp.float32) + bh
+        z = jax.nn.sigmoid(xz_ref[t] + rz)
+        r = jax.nn.sigmoid(xr_ref[t] + rr)
+        hh = jnp.tanh(xh_ref[t] + r * rh)
         h_new = z * h + (1.0 - z) * hh
         h_ref[:] = h_new
         out_ref[t] = h_new
@@ -134,3 +139,368 @@ def gru_scan_pallas(x_proj: Array, rec_kernel: Array, rec_bias: Array,
       wh.astype(jnp.float32), biases.astype(jnp.float32),
       h0.astype(jnp.float32))
     return out[:t]
+
+
+# -----------------------------------------------------------------------------
+# NoteRelease recurrence (control-path hot loop #3)
+# -----------------------------------------------------------------------------
+
+
+def _note_release_kernel(x_ref, thresh_ref, s0_ref, out_ref, state_out_ref,
+                         state_ref, *, bt: int, t_total: int):
+    """F0ProcessorCell steps over one (BT, B, 1) pitch block; the (B, 2)
+    state (held note, release frame count) persists in VMEM scratch.
+    Same saturated-relu math as sub_modules.F0ProcessorCell.step. Steps
+    past t_total (time-axis padding) leave the state untouched so the
+    emitted final state is the real sequence's."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        state_ref[:] = s0_ref[:]
+
+    thresh = thresh_ref[0, 0]
+    base = pl.program_id(0) * bt
+
+    def _sat_relu(x, threshold=0.0):
+        return jnp.minimum(jnp.maximum(x - threshold, 0.0), 1.0)
+
+    def body(t, carry):
+        prev = state_ref[:, 0:1]
+        steps = state_ref[:, 1:2]
+        note = x_ref[t]
+        activity = _sat_relu(note)
+        release_end = _sat_relu(steps, thresh)
+        out = (activity * note
+               + (1.0 - activity) * prev * (1.0 - release_end))
+        new_steps = (steps + 1.0) * (1.0 - activity) * (1.0 - release_end)
+        live = (base + t) < t_total
+        state_ref[:, 0:1] = jnp.where(live, out, prev)
+        state_ref[:, 1:2] = jnp.where(live, new_steps, steps)
+        out_ref[t] = out
+        return carry
+
+    jax.lax.fori_loop(0, bt, body, 0)
+    state_out_ref[:] = state_ref[:]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def note_release_scan_pallas(active_pitch: Array, threshold: Array,
+                             state0: Array,
+                             interpret: bool = False):
+    """Run the note-release recurrence in one Pallas program.
+
+    Args:
+        active_pitch: (T, B, 1) MIDI pitch conditioning (time-major).
+        threshold: scalar release threshold in FRAMES
+            (release_duration * frame_rate).
+        state0: (B, 2) initial [held note, release steps] state.
+    Returns:
+        (extended_pitch (T, B, 1), final state (B, 2)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, b, _ = active_pitch.shape
+    bt = 128
+    t_pad = -(-t // bt) * bt
+    x = active_pitch.astype(jnp.float32)
+    if t_pad != t:
+        x = jnp.pad(x, ((0, t_pad - t), (0, 0), (0, 0)))
+
+    out, final_state = pl.pallas_call(
+        functools.partial(_note_release_kernel, bt=bt, t_total=t),
+        grid=(t_pad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Written every grid step; only the last survives, which is
+            # exactly the final state.
+            pl.BlockSpec((b, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, 2), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.reshape(threshold.astype(jnp.float32), (1, 1)),
+      state0.astype(jnp.float32))
+    return out[:t], final_state
+
+
+# -----------------------------------------------------------------------------
+# Dispatchers: jnp reference scans + the custom_vjp/vmap/partitioning stack
+# (same layering as the oscillator kernels, ops/oscillator.py:264-383: a
+# bare pallas_call has no SPMD partitioning or batching rule, so it must be
+# wrapped to shard over the batch mesh instead of replicating, to collapse
+# jax.vmap axes into its batch dim, and to route gradients through the
+# reference lax.scan VJP).
+# -----------------------------------------------------------------------------
+
+
+def use_pallas_ctrl() -> bool:
+    """Control-path Pallas kernels (GRU + NoteRelease) on TPU unless
+    DDSP_PIANO_TPU_PALLAS_CTRL=0. Read at trace time."""
+    import os
+
+    return (jax.default_backend() == 'tpu'
+            and os.environ.get('DDSP_PIANO_TPU_PALLAS_CTRL', '') != '0')
+
+
+def gru_scan_reference(x_proj: Array, rec_kernel: Array, rec_bias: Array,
+                       h0: Array, unroll: int = 16) -> Array:
+    """The lax.scan GRU recurrence over precomputed input projections
+    (the nn/layers.py step, factored so kernel and VJP share one source
+    of truth). x_proj: (T, B, 3u) -> (T, B, u)."""
+    u = h0.shape[-1]
+
+    def step(h, xt):
+        rec = jnp.matmul(h, rec_kernel) + rec_bias
+        xz, xr, xh = xt[:, :u], xt[:, u:2 * u], xt[:, 2 * u:]
+        rz, rr, rh = rec[:, :u], rec[:, u:2 * u], rec[:, 2 * u:]
+        z = jax.nn.sigmoid(xz + rz)
+        r = jax.nn.sigmoid(xr + rr)
+        hh = jnp.tanh(xh + r * rh)
+        h_new = z * h + (1.0 - z) * hh
+        return h_new, h_new
+
+    _, hs = jax.lax.scan(step, h0, x_proj, unroll=unroll)
+    return hs
+
+
+@functools.lru_cache(maxsize=None)
+def _gru_partitioned():
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _run(x_proj, rec_kernel, rec_bias, h0):
+        return gru_scan_pallas(x_proj, rec_kernel, rec_bias, h0)
+
+    run_cp = custom_partitioning(_run)
+
+    def _bspec(sh):
+        spec = sh.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh,
+                             PartitionSpec(None, _bspec(
+                                 arg_shapes[0].sharding), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        rep2 = NamedSharding(mesh, PartitionSpec(None, None))
+        rep1 = NamedSharding(mesh, PartitionSpec(None))
+        h0_sh = NamedSharding(mesh, PartitionSpec(b, None))
+        return mesh, _run, seq, (seq, rep2, rep1, h0_sh)
+
+    run_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='i b j, k l, m, b n -> i b n')
+    return run_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _gru_batched():
+    from jax.custom_batching import custom_vmap
+
+    run_cp = _gru_partitioned()
+
+    @custom_vmap
+    def run(x_proj, rec_kernel, rec_bias, h0):
+        return run_cp(x_proj, rec_kernel, rec_bias, h0)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, x_proj, rec_kernel, rec_bias, h0):
+        if in_batched[1] or in_batched[2]:
+            # Per-instance weights can't collapse into the batch axis;
+            # fall back to a sequential map (never hit by the model —
+            # params are closed over, not vmapped).
+            outs = jax.lax.map(
+                lambda a: run(
+                    x_proj[a] if in_batched[0] else x_proj,
+                    rec_kernel[a] if in_batched[1] else rec_kernel,
+                    rec_bias[a] if in_batched[2] else rec_bias,
+                    h0[a] if in_batched[3] else h0),
+                jnp.arange(axis_size))
+            return outs, True
+        if not in_batched[0]:
+            x_proj = jnp.broadcast_to(x_proj[None],
+                                      (axis_size,) + x_proj.shape)
+        if not in_batched[3]:
+            h0 = jnp.broadcast_to(h0[None], (axis_size,) + h0.shape)
+        v, t, b, f = x_proj.shape
+        flat_x = jnp.moveaxis(x_proj, 0, 1).reshape(t, v * b, f)
+        flat_h0 = h0.reshape(v * b, h0.shape[-1])
+        out = run(flat_x, rec_kernel, rec_bias, flat_h0)
+        out = jnp.moveaxis(out.reshape(t, v, b, -1), 1, 0)
+        return out, True
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _gru_grad(unroll: int):
+    """custom_vjp: Pallas forward, reference-scan VJP (the recurrence's
+    gradients recompute in the backward — same rematerialization the
+    oscillator's backward avoids with its own kernel; here the scans are
+    ~1 ms, so recompute is the right tradeoff)."""
+
+    @jax.custom_vjp
+    def run(x_proj, rec_kernel, rec_bias, h0):
+        return _gru_batched()(x_proj, rec_kernel, rec_bias, h0)
+
+    def fwd(*args):
+        return run(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: gru_scan_reference(*a, unroll=unroll), *args)
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def gru_scan(x_proj: Array, rec_kernel: Array, rec_bias: Array, h0: Array,
+             unroll: int = 16) -> Array:
+    """Front door for nn.GRU: Pallas kernel on TPU (differentiable,
+    vmappable, mesh-partitionable), reference lax.scan elsewhere."""
+    if use_pallas_ctrl():
+        return _gru_grad(unroll)(x_proj, rec_kernel, rec_bias, h0)
+    return gru_scan_reference(x_proj, rec_kernel, rec_bias, h0,
+                              unroll=unroll)
+
+
+# -- NoteRelease dispatcher ---------------------------------------------------
+
+
+def note_release_reference(active_pitch: Array, threshold: Array,
+                           state0: Array, unroll: int = 16):
+    """lax.scan note-release recurrence (the sub_modules.F0ProcessorCell
+    math on time-major input). (T, B, 1) -> ((T, B, 1), (B, 2))."""
+
+    def _sat_relu(x, thr=0.0):
+        return jnp.minimum(jax.nn.relu(x - thr), 1.0)
+
+    def step(state, note):
+        prev = state[..., 0:1]
+        steps = state[..., 1:2]
+        activity = _sat_relu(note)
+        release_end = _sat_relu(steps, threshold)
+        out = (activity * note
+               + (1.0 - activity) * prev * (1.0 - release_end))
+        new_steps = (steps + 1.0) * (1.0 - activity) * (1.0 - release_end)
+        return jnp.concatenate([out, new_steps], axis=-1), out
+
+    final_state, ys = jax.lax.scan(step, state0, active_pitch,
+                                   unroll=unroll)
+    return ys, final_state
+
+
+@functools.lru_cache(maxsize=None)
+def _note_release_partitioned():
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _run(active_pitch, threshold, state0):
+        return tuple(note_release_scan_pallas(active_pitch, threshold,
+                                              state0))
+
+    run_cp = custom_partitioning(_run)
+
+    def _bspec(sh):
+        spec = sh.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        return (NamedSharding(mesh, PartitionSpec(None, b, None)),
+                NamedSharding(mesh, PartitionSpec(b, None)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        state = NamedSharding(mesh, PartitionSpec(b, None))
+        scalar = NamedSharding(mesh, PartitionSpec())
+        return mesh, _run, (seq, state), (seq, scalar, state)
+
+    run_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='i b j, s, b k -> i b j, b k')
+    return run_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _note_release_batched():
+    from jax.custom_batching import custom_vmap
+
+    run_cp = _note_release_partitioned()
+
+    @custom_vmap
+    def run(active_pitch, threshold, state0):
+        return run_cp(active_pitch, threshold, state0)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, active_pitch, threshold, state0):
+        if in_batched[1]:
+            outs = jax.lax.map(
+                lambda a: run(
+                    active_pitch[a] if in_batched[0] else active_pitch,
+                    threshold[a],
+                    state0[a] if in_batched[2] else state0),
+                jnp.arange(axis_size))
+            return outs, (True, True)
+        if not in_batched[0]:
+            active_pitch = jnp.broadcast_to(
+                active_pitch[None], (axis_size,) + active_pitch.shape)
+        if not in_batched[2]:
+            state0 = jnp.broadcast_to(state0[None],
+                                      (axis_size,) + state0.shape)
+        v, t, b, _ = active_pitch.shape
+        flat_x = jnp.moveaxis(active_pitch, 0, 1).reshape(t, v * b, 1)
+        flat_s0 = state0.reshape(v * b, 2)
+        ext, state = run(flat_x, threshold, flat_s0)
+        ext = jnp.moveaxis(ext.reshape(t, v, b, 1), 1, 0)
+        return (ext, state.reshape(v, b, 2)), (True, True)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _note_release_grad(unroll: int):
+
+    @jax.custom_vjp
+    def run(active_pitch, threshold, state0):
+        return _note_release_batched()(active_pitch, threshold, state0)
+
+    def fwd(*args):
+        return run(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: note_release_reference(*a, unroll=unroll), *args)
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def note_release_scan(active_pitch: Array, threshold: Array,
+                      state0: Array, unroll: int = 16):
+    """Front door for sub_modules.NoteRelease (time-major)."""
+    if use_pallas_ctrl():
+        return _note_release_grad(unroll)(active_pitch, threshold, state0)
+    return note_release_reference(active_pitch, threshold, state0,
+                                  unroll=unroll)

@@ -922,17 +922,16 @@ class NoteRelease(nn.DictModule):
 
     def apply(self, params, conditioning, initial_state=None,
               return_state=False, training=False):
+        from ddsp_piano_tpu.kernels.gru_pallas import note_release_scan
+
         active_pitch = conditioning[..., 0:1]  # (b, t, 1)
         b, t, _ = active_pitch.shape
         x = jnp.swapaxes(active_pitch, 0, 1)   # (t, b, 1)
         state0 = (jnp.zeros((b, 2), active_pitch.dtype)
                   if initial_state is None else initial_state)
-        cell_params = params['cell']
-
-        def step(state, xt):
-            return self.cell.step(cell_params, state, xt)
-
-        final_state, ys = jax.lax.scan(step, state0, x, unroll=16)
+        threshold = jnp.reshape(
+            params['cell']['release_duration'] * self.cell.frame_rate, (1,))
+        ys, final_state = note_release_scan(x, threshold, state0)
         extended = jnp.swapaxes(ys, 0, 1)
         if return_state:
             return extended, final_state

@@ -281,18 +281,28 @@ class GRU(Module):
         rec_kernel = params['recurrent_kernel']
         rec_bias = params['bias'][1]
 
-        def step(h, xt):
-            rec = _mm(h, rec_kernel) + rec_bias
-            xz, xr, xh = xt[:, :u], xt[:, u:2 * u], xt[:, 2 * u:]
-            rz, rr, rh = rec[:, :u], rec[:, u:2 * u], rec[:, 2 * u:]
-            z = jax.nn.sigmoid(xz + rz)
-            r = jax.nn.sigmoid(xr + rr)
-            hh = jnp.tanh(xh + r * rh)
-            h_new = z * h + (1.0 - z) * hh
-            return h_new, h_new
+        if not _BF16_MATMUL:
+            # TPU: single Pallas program with VMEM-resident state (bit-
+            # compatible with the scan; ~1.15x on the latency-bound
+            # recurrence); elsewhere the same lax.scan as below. The bf16
+            # opt-in keeps the scan so _mm's cast applies per step.
+            from ddsp_piano_tpu.kernels.gru_pallas import gru_scan
+            hs = gru_scan(x_proj, rec_kernel, rec_bias, h0,
+                          unroll=self.unroll)
+            h_last = hs[-1]
+        else:
+            def step(h, xt):
+                rec = _mm(h, rec_kernel) + rec_bias
+                xz, xr, xh = xt[:, :u], xt[:, u:2 * u], xt[:, 2 * u:]
+                rz, rr, rh = rec[:, :u], rec[:, u:2 * u], rec[:, 2 * u:]
+                z = jax.nn.sigmoid(xz + rz)
+                r = jax.nn.sigmoid(xr + rr)
+                hh = jnp.tanh(xh + r * rh)
+                h_new = z * h + (1.0 - z) * hh
+                return h_new, h_new
 
-        h_last, hs = jax.lax.scan(step, h0, x_proj,
-                                   unroll=self.unroll)
+            h_last, hs = jax.lax.scan(step, h0, x_proj,
+                                      unroll=self.unroll)
         out = jnp.swapaxes(hs, 0, 1) if self.return_sequences else h_last
         if return_state:
             return out, h_last

@@ -1,0 +1,171 @@
+"""Control-path Pallas kernels (GRU + NoteRelease recurrences).
+
+The kernels run the full recurrence in one Pallas program with
+VMEM-resident state (kernels/gru_pallas.py); on CPU they run in
+interpreter mode via mock-patching, exactly like the oscillator kernel
+tests. Checks: bit-parity with the lax.scan reference, gradients through
+the custom_vjp wrapper, jax.vmap through the custom_vmap rule, and batch
+sharding over the virtual 8-device mesh.
+"""
+
+import functools
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_piano_tpu import nn
+from ddsp_piano_tpu.kernels import gru_pallas as gp
+
+
+def _gru_inputs(B=4, T=100, IN=24, U=64, seed=0):
+    rng = np.random.RandomState(seed)
+    gru = nn.GRU(U, IN)
+    params = gru.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(B, T, IN).astype(np.float32))
+    x_proj = jnp.swapaxes(
+        jnp.matmul(x, params['kernel']) + params['bias'][0], 0, 1)
+    h0 = jnp.zeros((B, U), jnp.float32)
+    return gru, params, x, x_proj, h0
+
+
+def _interpret_kernels():
+    """Force the Pallas kernels into interpreter mode (CPU suite)."""
+    return (
+        mock.patch.object(
+            gp, 'gru_scan_pallas',
+            functools.partial(gp.gru_scan_pallas.__wrapped__,
+                              interpret=True)),
+        mock.patch.object(
+            gp, 'note_release_scan_pallas',
+            functools.partial(gp.note_release_scan_pallas.__wrapped__,
+                              interpret=True)),
+        mock.patch.object(gp, 'use_pallas_ctrl', lambda: True),
+    )
+
+
+def test_gru_kernel_bit_matches_scan():
+    gru, params, x, x_proj, h0 = _gru_inputs()
+    want = gp.gru_scan_reference(x_proj, params['recurrent_kernel'],
+                                 params['bias'][1], h0)
+    got = gp.gru_scan_pallas.__wrapped__(
+        x_proj, params['recurrent_kernel'], params['bias'][1], h0,
+        0, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gru_reference_matches_nn_gru():
+    """The factored reference scan is the nn.GRU recurrence."""
+    gru, params, x, x_proj, h0 = _gru_inputs()
+    want = gru(params, x)
+    got = jnp.swapaxes(
+        gp.gru_scan_reference(x_proj, params['recurrent_kernel'],
+                              params['bias'][1], h0), 0, 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gru_dispatcher_grad_and_vmap():
+    """nn.GRU through the forced-pallas dispatcher: values, gradients,
+    and vmap all match the scan path."""
+    gru, params, x, _, _ = _gru_inputs(T=50)
+    p1, p2, p3 = _interpret_kernels()
+    with p1, p2, p3:
+        got = gru(params, x)
+
+        def loss(p):
+            return jnp.sum(gru(p, x) ** 2)
+
+        grads = jax.jit(jax.grad(loss))(params)
+        vmapped = jax.vmap(lambda xi: gru(params, xi[None])[0])(x)
+    want = gru(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vmapped), np.asarray(want),
+                               atol=1e-6)
+    want_grads = jax.grad(lambda p: jnp.sum(gru(p, x) ** 2))(params)
+    for k in ('kernel', 'recurrent_kernel', 'bias'):
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(want_grads[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_note_release_kernel_matches_reference():
+    """Kernel == scan on release-heavy content, including the carried
+    state through a T not divisible by the 128-frame block (the padding
+    guard must leave the final state untouched)."""
+    rng = np.random.RandomState(3)
+    B, T = 5, 300
+    x = np.zeros((T, B, 1), np.float32)
+    for b in range(B):
+        for s in range(0, 250, 60 + 10 * b):
+            x[s:s + 25, b, 0] = rng.randint(30, 90)
+    x = jnp.asarray(x)
+    threshold = jnp.asarray([1.1 * 250.0], jnp.float32)
+    s0 = jnp.zeros((B, 2), jnp.float32)
+    want, want_state = gp.note_release_reference(x, threshold, s0)
+    got, got_state = gp.note_release_scan_pallas.__wrapped__(
+        x, threshold, s0, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_state),
+                                  np.asarray(want_state))
+
+
+def test_note_release_module_dispatcher_parity():
+    """sub_modules.NoteRelease through the forced-pallas dispatcher ==
+    the reference scan path, including grads w.r.t. release_duration."""
+    from ddsp_piano_tpu.models import sub_modules as sm
+
+    nr = sm.NoteRelease(frame_rate=250)
+    params = nr.init(jax.random.PRNGKey(0))
+    cond = np.zeros((3, 200, 2), np.float32)
+    cond[:, 20:70, 0] = 60.0
+    cond[:, 120:150, 0] = 72.0
+    cond = jnp.asarray(cond)
+
+    want, want_state = nr.apply(params, cond, return_state=True)
+    want_grad = jax.grad(
+        lambda p: jnp.sum(nr.apply(p, cond) ** 2))(params)
+    p1, p2, p3 = _interpret_kernels()
+    with p1, p2, p3:
+        got, got_state = nr.apply(params, cond, return_state=True)
+        got_grad = jax.jit(jax.grad(
+            lambda p: jnp.sum(nr.apply(p, cond) ** 2)))(params)
+        vmapped = jax.vmap(lambda c: nr.apply(params, c[None])[0])(cond)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_state),
+                                  np.asarray(want_state))
+    np.testing.assert_allclose(np.asarray(vmapped), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_grad['cell']['release_duration']),
+        np.asarray(want_grad['cell']['release_duration']),
+        rtol=1e-4)
+
+
+def test_ctrl_kernels_partition_over_batch_mesh():
+    """Under a data mesh the GRU kernel shards over the batch axis
+    (axis 1 of the time-major layout) instead of replicating."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_piano_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh(8)
+    gru, params, x, x_proj, h0 = _gru_inputs(B=16, T=64)
+    sharding = NamedSharding(mesh, P(None, 'data', None))
+    x_proj_s = jax.device_put(x_proj, sharding)
+    h0_s = jax.device_put(h0, NamedSharding(mesh, P('data', None)))
+
+    p1, p2, p3 = _interpret_kernels()
+    with p1, p2, p3:
+        out = jax.jit(lambda xp, h: gp.gru_scan(
+            xp, params['recurrent_kernel'], params['bias'][1], h))(
+                x_proj_s, h0_s)
+    # Trailing Nones may be normalized away; the batch axis must shard.
+    assert tuple(out.sharding.spec)[:2] == (None, 'data'), out.sharding
+    want = gp.gru_scan_reference(x_proj, params['recurrent_kernel'],
+                                 params['bias'][1], h0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-6)
