@@ -140,17 +140,28 @@ class MultiInharmonic(InHarmonic):
 
         Returns (freqs, amps), each (b, t, n_substrings * n_harmonics) —
         the shared representation for both one-shot and streaming renders.
+
+        The fold is HARMONIC-MAJOR (h1s0, h1s1, h2s0, h2s1, ...), not
+        substring-major: the skipping Pallas oscillator walks 8-partial
+        tiles up to the LAST sub-Nyquist partial, and a substring-major
+        order puts every substring's live harmonics after the previous
+        substring's dead (Nyquist-masked) tail, forcing the kernel
+        through ~(n_harm + live) partials instead of ~(n_sub * live).
+        The substrings are detuned by cents, so their Nyquist cuts are
+        adjacent harmonics — interleaving clusters all dead partials at
+        the end (measured 2.2x less oscillator tile-work on the chordal
+        bench scene for dafx22's 2 substrings x 96 harmonics).
         """
         b, n_frames, n_sub = f0_hz.shape
         n_harm = harmonic_distribution.shape[-1]
         k = jnp.linspace(1.0, float(n_harm), n_harm, dtype=jnp.float32)
         shift_mul = (1.0 + harmonic_shifts)                  # (b, t, K)
-        freqs = (f0_hz[..., :, jnp.newaxis] * k
-                 * shift_mul[..., jnp.newaxis, :]
-                 ).reshape(b, n_frames, n_sub * n_harm)
-        amps = (amplitudes * harmonic_distribution)[..., jnp.newaxis, :]
-        amps = jnp.broadcast_to(amps, (b, n_frames, n_sub, n_harm)
-                                ).reshape(b, n_frames, n_sub * n_harm)
+        freqs = (f0_hz[..., jnp.newaxis, :] * k[:, jnp.newaxis]
+                 * shift_mul[..., :, jnp.newaxis]            # (b, t, K, S)
+                 ).reshape(b, n_frames, n_harm * n_sub)
+        amps = (amplitudes * harmonic_distribution)[..., :, jnp.newaxis]
+        amps = jnp.broadcast_to(amps, (b, n_frames, n_harm, n_sub)
+                                ).reshape(b, n_frames, n_harm * n_sub)
         return freqs, amps
 
     def get_signal(self, params, amplitudes, harmonic_distribution,
