@@ -43,13 +43,18 @@ def main():
     if use_real_model:
         # Real tiny dafx22 train steps across processes: the full model
         # graph (GRU scans, oscillator, noise FIR, reverb FFT, losses)
-        # under GSPMD with per-host batch shards.
+        # under GSPMD with per-host batch shards. 0.3 s segments keep this
+        # inside the default suite's budget (was DDSP_SLOW_TESTS-gated).
+        # NOTE: no persistent compile cache here — when only one worker
+        # hits the cache their wall times diverge past the distributed
+        # shutdown barrier and the run dies with a barrier timeout
+        # (observed; both-compile is slower but deterministic).
         from ddsp_piano_tpu.configs import get_model
         from ddsp_piano_tpu.data.pipeline import get_dummy_data
 
-        model = get_model('dafx22', duration=0.5, n_synths=4)
+        model = get_model('dafx22', duration=0.3, n_synths=4)
         mesh = mesh_lib.get_mesh_for_batch(4)
-        global_batch = get_dummy_data(batch_size=4, duration=0.5,
+        global_batch = get_dummy_data(batch_size=4, duration=0.3,
                                       sample_rate=16000, n_synths=4)
         local_batch = mesh_lib.slice_local_batch(global_batch)
         trainer = Trainer(model, mesh=mesh)
