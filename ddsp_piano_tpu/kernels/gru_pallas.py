@@ -148,11 +148,14 @@ def gru_scan_pallas(x_proj: Array, rec_kernel: Array, rec_bias: Array,
 
 def _note_release_kernel(x_ref, thresh_ref, s0_ref, out_ref, state_out_ref,
                          state_ref, *, bt: int, t_total: int):
-    """F0ProcessorCell steps over one (BT, B, 1) pitch block; the (B, 2)
+    """F0ProcessorCell steps over one (BT, B) pitch block; the (2, B)
     state (held note, release frame count) persists in VMEM scratch.
-    Same saturated-relu math as sub_modules.F0ProcessorCell.step. Steps
-    past t_total (time-axis padding) leave the state untouched so the
-    emitted final state is the real sequence's."""
+    Batch rides the 128-lane axis — a trailing (.., B, 1) layout would
+    pad the singleton to a full lane tile and VMEM-OOM at the folded
+    b=128 aggregate batch (8 MB/block; observed). Same saturated-relu
+    math as sub_modules.F0ProcessorCell.step. Steps past t_total
+    (time-axis padding) leave the state untouched so the emitted final
+    state is the real sequence's."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
@@ -166,18 +169,18 @@ def _note_release_kernel(x_ref, thresh_ref, s0_ref, out_ref, state_out_ref,
         return jnp.minimum(jnp.maximum(x - threshold, 0.0), 1.0)
 
     def body(t, carry):
-        prev = state_ref[:, 0:1]
-        steps = state_ref[:, 1:2]
-        note = x_ref[t]
+        prev = state_ref[0:1, :]
+        steps = state_ref[1:2, :]
+        note = x_ref[pl.dslice(t, 1), :]
         activity = _sat_relu(note)
         release_end = _sat_relu(steps, thresh)
         out = (activity * note
                + (1.0 - activity) * prev * (1.0 - release_end))
         new_steps = (steps + 1.0) * (1.0 - activity) * (1.0 - release_end)
         live = (base + t) < t_total
-        state_ref[:, 0:1] = jnp.where(live, out, prev)
-        state_ref[:, 1:2] = jnp.where(live, new_steps, steps)
-        out_ref[t] = out
+        state_ref[0:1, :] = jnp.where(live, out, prev)
+        state_ref[1:2, :] = jnp.where(live, new_steps, steps)
+        out_ref[pl.dslice(t, 1), :] = out
         return carry
 
     jax.lax.fori_loop(0, bt, body, 0)
@@ -204,36 +207,36 @@ def note_release_scan_pallas(active_pitch: Array, threshold: Array,
     t, b, _ = active_pitch.shape
     bt = 128
     t_pad = -(-t // bt) * bt
-    x = active_pitch.astype(jnp.float32)
+    x = active_pitch[..., 0].astype(jnp.float32)   # (T, B): b on lanes
     if t_pad != t:
-        x = jnp.pad(x, ((0, t_pad - t), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
 
     out, final_state = pl.pallas_call(
         functools.partial(_note_release_kernel, bt=bt, t_total=t),
         grid=(t_pad // bt,),
         in_specs=[
-            pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 2), lambda i: (0, 0),
+            pl.BlockSpec((2, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             # Written every grid step; only the last survives, which is
             # exactly the final state.
-            pl.BlockSpec((b, 2), lambda i: (0, 0),
+            pl.BlockSpec((2, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((t_pad, b, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 2), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((b, 2), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b), jnp.float32),
+                   jax.ShapeDtypeStruct((2, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, b), jnp.float32)],
         interpret=interpret,
     )(x, jnp.reshape(threshold.astype(jnp.float32), (1, 1)),
-      state0.astype(jnp.float32))
-    return out[:t], final_state
+      state0.astype(jnp.float32).T)
+    return out[:t, :, jnp.newaxis], final_state.T
 
 
 # -----------------------------------------------------------------------------

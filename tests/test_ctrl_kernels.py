@@ -113,6 +113,25 @@ def test_note_release_kernel_matches_reference():
                                   np.asarray(want_state))
 
 
+def test_note_release_kernel_folded_aggregate_batch():
+    """b=128 (batch 8 x 16 folded voices — the bench aggregate shape).
+    Regression: the kernel must keep batch on the LANE axis; a trailing
+    (.., B, 1) block layout padded the singleton to a full 128-lane tile
+    and VMEM-OOMed on TPU at exactly this shape (16 MB scoped limit)."""
+    rng = np.random.RandomState(7)
+    T, B = 750, 128
+    x = jnp.asarray((rng.rand(T, B, 1) * 90
+                     * (rng.rand(T, B, 1) > 0.5)).astype(np.float32))
+    threshold = jnp.asarray([37.5], jnp.float32)
+    s0 = jnp.zeros((B, 2), jnp.float32)
+    want, want_state = gp.note_release_reference(x, threshold, s0)
+    got, got_state = gp.note_release_scan_pallas.__wrapped__(
+        x, threshold, s0, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_state),
+                                  np.asarray(want_state))
+
+
 def test_note_release_module_dispatcher_parity():
     """sub_modules.NoteRelease through the forced-pallas dispatcher ==
     the reference scan path, including grads w.r.t. release_duration."""
