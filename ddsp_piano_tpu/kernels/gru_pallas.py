@@ -354,24 +354,24 @@ def _gru_batched():
 
 @functools.lru_cache(maxsize=None)
 def _gru_grad(unroll: int):
-    """custom_vjp: Pallas forward, reference-scan VJP (the recurrence's
-    gradients recompute in the backward — same rematerialization the
-    oscillator's backward avoids with its own kernel; here the scans are
-    ~1 ms, so recompute is the right tradeoff)."""
+    """custom_jvp: outside AD the Pallas kernel runs; under AD the rule
+    defers BOTH primal and tangent to the reference scan, so jax.grad
+    linearizes the scan natively (saved residuals + transposed backward
+    scan) and never touches the kernel. A custom_vjp here double-paid:
+    kernel forward + full scan RECOMPUTE in the backward — measured
+    +2 ms on the 46.5 ms dafx22 train step. The kernel is an inference
+    device; training takes the scan's own gradient path."""
 
-    @jax.custom_vjp
+    @jax.custom_jvp
     def run(x_proj, rec_kernel, rec_bias, h0):
         return _gru_batched()(x_proj, rec_kernel, rec_bias, h0)
 
-    def fwd(*args):
-        return run(*args), args
+    @run.defjvp
+    def _jvp(primals, tangents):
+        return jax.jvp(
+            lambda *a: gru_scan_reference(*a, unroll=unroll),
+            primals, tangents)
 
-    def bwd(args, g):
-        _, vjp = jax.vjp(
-            lambda *a: gru_scan_reference(*a, unroll=unroll), *args)
-        return vjp(g)
-
-    run.defvjp(fwd, bwd)
     return run
 
 
@@ -483,20 +483,19 @@ def _note_release_batched():
 
 @functools.lru_cache(maxsize=None)
 def _note_release_grad(unroll: int):
+    """Same AD strategy as _gru_grad: kernel outside AD, native scan
+    linearization under it (no forward recompute in the backward)."""
 
-    @jax.custom_vjp
+    @jax.custom_jvp
     def run(active_pitch, threshold, state0):
         return _note_release_batched()(active_pitch, threshold, state0)
 
-    def fwd(*args):
-        return run(*args), args
+    @run.defjvp
+    def _jvp(primals, tangents):
+        return jax.jvp(
+            lambda *a: note_release_reference(*a, unroll=unroll),
+            primals, tangents)
 
-    def bwd(args, g):
-        _, vjp = jax.vjp(
-            lambda *a: note_release_reference(*a, unroll=unroll), *args)
-        return vjp(g)
-
-    run.defvjp(fwd, bwd)
     return run
 
 
