@@ -25,8 +25,11 @@ def env():
 
 @pytest.fixture()
 def setup(env):
-    # Fresh state per test: train_step donates its input state buffers.
     model, trainer, batch = env
+    # Fresh state AND an empty NaN-guard deque per test (guards now drain
+    # every nan_check_interval steps, so they would otherwise leak between
+    # tests sharing the module-scoped trainer).
+    trainer._pending_guard.clear()
     state = trainer.init_state(jax.random.PRNGKey(0))
     return model, trainer, state, batch
 
@@ -98,6 +101,55 @@ def test_nan_guard(setup):
     assert good is not None
     for leaf in jax.tree.leaves(good.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_nan_guard_interval(env):
+    """train_step drains the guard deque every nan_check_interval steps,
+    raising with the state from before the FIRST non-finite step."""
+    model, _, batch = env
+    trainer = Trainer(model, learning_rate=1e-3, first_phase=True,
+                      mesh=mesh_lib.get_mesh(4), nan_check_interval=3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    bad = dict(batch)
+    bad['audio'] = np.full_like(batch['audio'], np.nan)
+    state, _ = trainer.train_step(state, bad)        # pending: 1
+    with pytest.raises(NanLossError) as exc_info:
+        for _ in range(4):                           # drains at 3 pending
+            state, _ = trainer.train_step(state, bad)
+    err_state = exc_info.value.state
+    assert int(err_state.step) == 0                  # before the first bad step
+    for leaf in jax.tree.leaves(err_state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_device_prefetch_equivalent(env):
+    """Double-buffered device staging consumes every batch in order and
+    produces bitwise-identical training to the plain loop."""
+    model, trainer, batch = env
+    trainer._pending_guard.clear()
+    batches = [dict(batch, audio=batch['audio'] + 0.01 * i)
+               for i in range(5)]
+
+    state_a = trainer.init_state(jax.random.PRNGKey(0))
+    for b in batches:
+        state_a, _ = trainer.train_step(state_a, b)
+    trainer.check_pending()
+
+    state_b = trainer.init_state(jax.random.PRNGKey(0))
+    n = 0
+    for b in trainer.device_prefetch(iter(batches)):
+        state_b, _ = trainer.train_step(state_b, b)
+        n += 1
+    trainer.check_pending()
+
+    assert n == len(batches)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Short and empty iterators terminate cleanly (StopIteration during
+    # the initial fill).
+    assert len(list(trainer.device_prefetch(iter(batches[:1])))) == 1
+    assert list(trainer.device_prefetch(iter([]))) == []
 
 
 def test_nan_guard_blocks_save(setup, tmp_path):

@@ -123,11 +123,15 @@ def main(args):
     dataset_kwargs = dict(batch_size=args.batch_size,
                           max_polyphony=model.n_synths,
                           sample_rate=model.sample_rate)
-    train_iterator = pipeline.Prefetcher(
+    # Host-side prefetch (segmentation/collation threads) feeding a
+    # device-side prefetch: batch N+1 is staged onto the chip while step N
+    # computes, so the transfer never serializes with the step (measured
+    # 126 -> 81 ms/step through the relayed chip, BASELINE.md round 3).
+    train_iterator = trainer.device_prefetch(pipeline.Prefetcher(
         pipeline.get_training_dataset(
             args.maestro_path, **{**dataset_kwargs,
                                   'batch_size': local_bs,
-                                  'seed': jax.process_index()}))
+                                  'seed': jax.process_index()})))
 
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
     restore_from = args.restore
