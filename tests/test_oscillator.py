@@ -217,9 +217,9 @@ def test_skip_kernel_grad_wrapper_matches_jnp_grad():
     orig_fwd = kp.render_framewise_pallas_skip
     orig_bwd = kp.render_framewise_pallas_skip_vjp
     with mock.patch.object(kp, 'render_framewise_pallas_skip',
-                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+                           lambda c, u, s, i=False, t='poly': orig_fwd(c, u, s, True, t)), \
          mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
-                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
+                           lambda c, g, u, s, i=False, t='poly': orig_bwd(c, g, u, s, True, t)):
         got = np.asarray(loss_via('pallas_skip'))
     want = np.asarray(loss_via('jnp'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -260,6 +260,45 @@ def test_pallas_skip_bwd_kernel_matches_jnp_vjp():
                                    err_msg=f'grad {name}')
 
 
+def test_trig_variants_match_native():
+    """The 'poly' (shared range reduction + degree-6 sincos polynomials)
+    and 'sqrt' (sin reconstructed from cos) in-kernel trig paths match the
+    native-transcendental kernels within their documented budgets
+    (poly: ~1e-6 absolute; sqrt: loose only near sin==0, gradients-only)."""
+    import jax
+
+    from ddsp_piano_tpu.kernels.oscillator_pallas import (
+        render_framewise_pallas_skip, render_framewise_pallas_skip_vjp)
+
+    rng = np.random.RandomState(7)
+    b, n_frames, K, up, sr = 2, 120, 40, 64, 16000
+    f0 = rng.uniform(30, 5000, (b, n_frames, 1)).astype(np.float32)
+    freqs = (f0 * np.arange(1, K + 1, dtype=np.float32)).astype(np.float32)
+    amps = rng.rand(b, n_frames, K).astype(np.float32)
+    controls = oscillator.framewise_osc_controls(
+        jnp.asarray(freqs), jnp.asarray(amps), up, sr)
+    g = jnp.asarray(rng.randn(b, n_frames * up).astype(np.float32))
+
+    want_f = np.asarray(render_framewise_pallas_skip(
+        controls, up, sr, True, 'native'))
+    got_f = np.asarray(render_framewise_pallas_skip(
+        controls, up, sr, True, 'poly'))
+    # per-sample absolute trig error is ~6.5e-7; K partials accumulate
+    np.testing.assert_allclose(got_f, want_f,
+                               atol=2e-6 * K * np.abs(amps).max())
+
+    want_b = render_framewise_pallas_skip_vjp(controls, g, up, sr, True,
+                                              'native')
+    for trig, tol in (('poly', 3e-6), ('sqrt', 5e-4)):
+        got_b = render_framewise_pallas_skip_vjp(controls, g, up, sr, True,
+                                                 trig)
+        for name, w, gt in zip(controls._fields, want_b, got_b):
+            w, gt = np.asarray(w), np.asarray(gt)
+            scale = max(np.abs(w).max(), 1e-9)
+            np.testing.assert_allclose(gt, w, atol=tol * scale,
+                                       err_msg=f'{trig} grad {name}')
+
+
 def test_skip_kernel_partitions_over_batch_mesh():
     """Under a data mesh the skipping kernel (and its backward) shard over
     the voice-batch axis instead of being replicated per chip — the
@@ -288,9 +327,9 @@ def test_skip_kernel_partitions_over_batch_mesh():
     orig_fwd = kp.render_framewise_pallas_skip
     orig_bwd = kp.render_framewise_pallas_skip_vjp
     with mock.patch.object(kp, 'render_framewise_pallas_skip',
-                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+                           lambda c, u, s, i=False, t='poly': orig_fwd(c, u, s, True, t)), \
          mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
-                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
+                           lambda c, g, u, s, i=False, t='poly': orig_bwd(c, g, u, s, True, t)):
         out = jax.jit(lambda c: oscillator.render_framewise(
             c, up, sr, backend='pallas_skip'))(sharded)
         assert out.sharding.spec == P('data'), out.sharding
@@ -338,9 +377,9 @@ def test_skip_kernel_vmap_collapses_into_batch():
     orig_fwd = kp.render_framewise_pallas_skip
     orig_bwd = kp.render_framewise_pallas_skip_vjp
     with mock.patch.object(kp, 'render_framewise_pallas_skip',
-                           lambda c, u, s: orig_fwd(c, u, s, True)), \
+                           lambda c, u, s, i=False, t='poly': orig_fwd(c, u, s, True, t)), \
          mock.patch.object(kp, 'render_framewise_pallas_skip_vjp',
-                           lambda c, g, u, s: orig_bwd(c, g, u, s, True)):
+                           lambda c, g, u, s, i=False, t='poly': orig_bwd(c, g, u, s, True, t)):
         out = jax.jit(jax.vmap(lambda c: oscillator.render_framewise(
             c, up, sr, backend='pallas_skip')))(controls)
 
