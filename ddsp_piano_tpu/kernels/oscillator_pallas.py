@@ -94,7 +94,13 @@ def _range_reduce(phi):
     return xr * _INV_2PI
 
 
+def _check_trig(trig: str, allowed=('native', 'poly')):
+    if trig not in allowed:
+        raise ValueError(f"trig={trig!r}: expected one of {allowed}")
+
+
 def _cos(phi, trig: str):
+    _check_trig(trig)
     if trig == 'native':
         return jnp.cos(phi)
     x = _range_reduce(phi)
@@ -108,6 +114,7 @@ def _sincos(phi, trig: str):
     with the sign taken from the range-reduced phase — half the native
     transcendentals, but absolute sin error grows to ~sqrt(eps) near
     sin = 0 (fine for gradients, not for audio)."""
+    _check_trig(trig, ('native', 'poly', 'sqrt'))
     if trig == 'native':
         return jnp.sin(phi), jnp.cos(phi)
     if trig == 'sqrt':

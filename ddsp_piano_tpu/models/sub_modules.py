@@ -886,24 +886,19 @@ class F0ProcessorCell:
     def init(self, key):
         return {'release_duration': jnp.asarray(1.1, jnp.float32)}
 
-    @staticmethod
-    def _saturated_relu(x, threshold=0.0):
-        return jnp.minimum(jax.nn.relu(x - threshold), 1.0)
-
     def step(self, params, state, midi_note):
-        """state: (batch, 2) = [held note, release frame count]."""
-        previous_note = state[..., 0:1]
-        release_steps = state[..., 1:2]
-        note_activity = self._saturated_relu(midi_note)
-        release_end = self._saturated_relu(
-            release_steps, params['release_duration'] * self.frame_rate)
-        midi_note = (note_activity * midi_note
-                     + (1.0 - note_activity) * previous_note
-                     * (1.0 - release_end))
-        release_steps = ((release_steps + 1.0)
-                         * (1.0 - note_activity) * (1.0 - release_end))
-        new_state = jnp.concatenate([midi_note, release_steps], axis=-1)
-        return new_state, midi_note
+        """One cell step; state: (batch, 2) = [held note, release count].
+
+        Delegates to kernels.gru_pallas.note_release_reference (the single
+        source of the recurrence math, which NoteRelease.apply and the
+        Pallas kernel's parity tests also run) on a 1-step sequence.
+        """
+        from ddsp_piano_tpu.kernels.gru_pallas import note_release_reference
+        threshold = jnp.reshape(
+            params['release_duration'] * self.frame_rate, (1,))
+        ys, new_state = note_release_reference(
+            midi_note[None], threshold, state, unroll=1)
+        return new_state, ys[0]
 
 
 class NoteRelease(nn.DictModule):

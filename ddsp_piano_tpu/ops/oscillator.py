@@ -270,7 +270,14 @@ def _osc_trig() -> str:
     abs audio delta 1.5e-7 on a 0.44-peak scene — inside the existing
     float32-reassociation budget) or 'native' via DDSP_PIANO_TPU_TRIG."""
     import os
-    return os.environ.get('DDSP_PIANO_TPU_TRIG', 'poly')
+    trig = os.environ.get('DDSP_PIANO_TPU_TRIG', 'poly')
+    if trig not in ('poly', 'native'):
+        # A silently-misread flag would corrupt every A/B measurement that
+        # keys on it ('sqrt' is a bwd-kernel-only experiment, not an
+        # end-to-end mode — request it via the kernel API directly).
+        raise ValueError(
+            f"DDSP_PIANO_TPU_TRIG={trig!r}: expected 'poly' or 'native'")
+    return trig
 
 
 @functools.lru_cache(maxsize=None)

@@ -188,3 +188,32 @@ def test_ctrl_kernels_partition_over_batch_mesh():
                                  params['bias'][1], h0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=1e-6)
+
+
+def test_f0_processor_cell_step_matches_reference_scan():
+    """F0ProcessorCell.step (the public per-step cell API, reference
+    sub_modules.py:1113-1170) delegates to note_release_reference; a
+    manual Python loop over steps must equal the scan over the sequence."""
+    from ddsp_piano_tpu.models import sub_modules as sm
+
+    cell = sm.F0ProcessorCell(frame_rate=250)
+    params = cell.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(11)
+    B, T = 4, 90
+    x = np.zeros((T, B, 1), np.float32)
+    for b in range(B):
+        x[10:40, b, 0] = rng.randint(40, 80)
+    x = jnp.asarray(x)
+
+    threshold = jnp.reshape(params['release_duration'] * 250.0, (1,))
+    want, want_state = gp.note_release_reference(
+        x, threshold, jnp.zeros((B, 2), jnp.float32))
+
+    state = jnp.zeros((B, 2), jnp.float32)
+    outs = []
+    for t in range(T):
+        state, out = cell.step(params, state, x[t])
+        outs.append(out)
+    np.testing.assert_array_equal(np.asarray(jnp.stack(outs)),
+                                  np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(state), np.asarray(want_state))
