@@ -86,3 +86,17 @@ def test_csv_contents_independent_of_batch_size(tmp_path, tiny_eval_env):
     assert list(df1['filename']) == list(df4['filename'])
     assert list(df1['piano_model']) == list(df4['piano_model'])
     np.testing.assert_allclose(df4['loss_val'], df1['loss_val'], rtol=1e-4)
+
+
+def test_get_wav_writes_one_file_per_segment(tmp_path, tiny_eval_env):
+    """Every 10 s segment of a track shares meta['filename']; the writer
+    must disambiguate with the global segment index instead of
+    overwriting (ADVICE r2: only the last segment's audio survived)."""
+    out_dir = str(tmp_path / 'wavs')
+    args = evaluate_model.process_args(
+        ['--batch_size', '2', '--duration', '0.5', '--get_wav',
+         '-c', 'tiny', 'data', out_dir])
+    evaluate_model.main(args)
+    wavs = sorted(os.listdir(os.path.join(out_dir, 'wav')))
+    assert len(wavs) == 5, wavs
+    assert len(set(wavs)) == 5
