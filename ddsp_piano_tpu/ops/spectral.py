@@ -70,8 +70,53 @@ def stft(audio: Array, frame_size: int = 2048, overlap: float = 0.75,
     return jnp.fft.rfft(frames * window, n=frame_size, axis=-1)
 
 
+@functools.lru_cache(maxsize=16)
+def _dft_mag_basis(frame_size: int):
+    """(frame_size, frame_size//2+1) cos/sin DFT bases with the periodic
+    Hann window folded in, built in float64 and cast to f32."""
+    import numpy as np
+    n = np.arange(frame_size, dtype=np.float64)
+    k = np.arange(frame_size // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / frame_size
+    denom = frame_size + (1 - frame_size % 2) - 1  # core.hann_window
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
+    cos_b = (np.cos(ang) * w[:, None]).astype(np.float32)
+    sin_b = (np.sin(ang) * w[:, None]).astype(np.float32)
+    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+
+def _compute_mag_mm(audio: Array, size: int, overlap: float,
+                    pad_end: bool) -> Array:
+    """|STFT| as two f32 basis matmuls (windowed DFT) + hypot.
+
+    XLA's TPU FFT lowers to a slow generic radix path; for the loss sizes
+    (64..2048, 75 % overlap) the windowed-DFT matmul rides the MXU instead.
+    Matches the rfft path up to float reassociation (HIGHEST precision) and
+    has a finite gradient at zero magnitude (jnp.abs of a complex STFT
+    does not).
+    """
+    hop = int(size * (1.0 - overlap))
+    frames = frame(core.f32(audio), size, hop, pad_end=pad_end)
+    cos_b, sin_b = _dft_mag_basis(size)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum('...tn,nk->...tk', frames, cos_b, precision=hi)
+    im = jnp.einsum('...tn,nk->...tk', frames, sin_b, precision=hi)
+    return jnp.sqrt(re * re + im * im + 1e-24)
+
+
 def compute_mag(audio: Array, size: int = 2048, overlap: float = 0.75,
-                pad_end: bool = True) -> Array:
+                pad_end: bool = True, method: str = 'auto') -> Array:
+    """STFT magnitudes. method: 'auto' | 'fft' | 'mm'.
+
+    'auto' resolves via DDSP_PIANO_TPU_STFT (read at trace time): 'mm'
+    forces the windowed-DFT matmul, 'fft' (current default pending the TPU
+    A/B) the rfft path.
+    """
+    import os
+    if method == 'auto':
+        method = os.environ.get('DDSP_PIANO_TPU_STFT', 'fft')
+    if method == 'mm':
+        return _compute_mag_mm(audio, size, overlap, pad_end)
     return jnp.abs(stft(audio, frame_size=size, overlap=overlap,
                         pad_end=pad_end)).astype(jnp.float32)
 

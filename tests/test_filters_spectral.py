@@ -154,3 +154,40 @@ def test_linmap_matches_fft_path_with_truncating_window():
     new = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
                                               method='linmap'))
     np.testing.assert_allclose(new, old, atol=1e-5 * np.abs(old).max())
+
+
+@pytest.mark.parametrize("size", [64, 256, 2048])
+def test_compute_mag_mm_matches_fft(size):
+    """Windowed-DFT-matmul magnitudes == rfft magnitudes (values + grads).
+
+    The mm path is the MXU-friendly rewrite of the loss STFT
+    (DDSP_PIANO_TPU_STFT=mm); it must stay exact up to f32 reassociation.
+    """
+    import jax
+    audio = RNG.randn(2, 16000).astype(np.float32)
+    ref = np.asarray(spectral.compute_mag(audio, size=size, method='fft'))
+    got = np.asarray(spectral.compute_mag(audio, size=size, method='mm'))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    # Gradient parity through an L1-vs-target reduction (the loss shape).
+    target = jnp.asarray(RNG.randn(*ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.mean(jnp.abs(
+        spectral.compute_mag(x, size=size, method='fft') - target)))(
+            jnp.asarray(audio))
+    g_mm = jax.grad(lambda x: jnp.mean(jnp.abs(
+        spectral.compute_mag(x, size=size, method='mm') - target)))(
+            jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-5)
+    assert np.all(np.isfinite(np.asarray(g_mm)))
+
+
+def test_compute_mag_mm_finite_grad_at_silence():
+    """jnp.abs(rfft) has a NaN gradient at zero magnitude; the mm path's
+    epsilon-guarded hypot must stay finite on all-zero audio."""
+    import jax
+    silent = jnp.zeros((1, 4000), dtype=jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(
+        spectral.compute_mag(x, size=128, method='mm')))(silent)
+    assert np.all(np.isfinite(np.asarray(g)))
