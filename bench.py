@@ -147,8 +147,11 @@ def _stage_breakdown(results, model, params, feats):
 
     ctrl_keys = list(pg.additive_controls) + list(pg.noise_controls) \
         + list(pg.reverb_controls)
-    ctrl_fn = jax.jit(lambda p, f: {k: control_path(p, f)[k]
-                                    for k in ctrl_keys})
+    def _ctrl(p, f):
+        out = control_path(p, f)  # trace once, select after
+        return {k: out[k] for k in ctrl_keys}
+
+    ctrl_fn = jax.jit(_ctrl)
     wall_ctrl, ctrl_feats = _time_fn(ctrl_fn, params, feats)
     results['stage_ctrl_ms'] = round(wall_ctrl * 1e3, 3)
 

@@ -1,7 +1,17 @@
 """Interleaved A/B: dafx22 train step (b=6, 3 s recipe shapes) with the
-control-path Pallas kernels ON vs OFF. Env flags are read at TRACE time,
-so each jitted step is built under its own env setting (two Trainer
-instances, traced eagerly before the timing loop)."""
+control-path Pallas kernels ON vs OFF.
+
+NOTE: under jax.grad the ctrl kernels' custom_jvp rule defers BOTH primal
+and tangent to the reference lax.scan (gru_pallas._gru_grad), so the two
+arms linearize the *same* program and the expected delta is ZERO. This
+script is a double-pay detector, not a speedup measurement: the earlier
+custom_vjp routing cost +2 ms/step (kernel forward + full scan recompute
+in the backward) and this harness is what caught it. Any nonzero delta
+here is either relay noise or a regression in the AD routing.
+
+Env flags are read at TRACE time, so each jitted step is built under its
+own env setting (two Trainer instances, traced eagerly before the timing
+loop)."""
 import os
 import time
 

@@ -118,18 +118,17 @@ def main():
 
     # -- variant F: the shipped implementation — trainer.device_prefetch
     #    feeding train_step with the default nan_check_interval=16 guard.
-    if True:
-        it2 = trainer.device_prefetch(make_iter())
-        for _ in range(4):
-            state, _ = trainer.train_step(state, next(it2))
-        jax.block_until_ready(state.tree()['params'])
-        wall0 = time.perf_counter()
-        for _ in range(N):
-            state, _ = trainer.train_step(state, next(it2))
-        jax.block_until_ready(state.tree()['params'])
-        print('F (shipped: device_prefetch + interval-16 guard): '
-              'wall %.1f ms/step' % (
-                  1e3 * (time.perf_counter() - wall0) / N), flush=True)
+    it2 = trainer.device_prefetch(make_iter())
+    for _ in range(4):
+        state, _ = trainer.train_step(state, next(it2))
+    jax.block_until_ready(state.tree()['params'])
+    wall0 = time.perf_counter()
+    for _ in range(N):
+        state, _ = trainer.train_step(state, next(it2))
+    jax.block_until_ready(state.tree()['params'])
+    print('F (shipped: device_prefetch + interval-16 guard): '
+          'wall %.1f ms/step' % (
+              1e3 * (time.perf_counter() - wall0) / N), flush=True)
 
     # -- variant E: double-buffered + per-step guard on ONE packed array
     #    (device_get of a single stacked scalar vs a dict of scalars).

@@ -96,17 +96,22 @@ def gru_scan_pallas(x_proj: Array, rec_kernel: Array, rec_bias: Array,
     u = three_u // 3
     x_proj = x_proj.astype(jnp.float32)
 
-    # Pre-split gates so in-kernel tensors are (B, u) lane-aligned.
-    xz, xr, xh = (x_proj[..., :u], x_proj[..., u:2 * u], x_proj[..., 2 * u:])
-    wz, wr, wh = (rec_kernel[:, :u], rec_kernel[:, u:2 * u],
-                  rec_kernel[:, 2 * u:])
-    biases = jnp.stack([rec_bias[:u], rec_bias[u:2 * u], rec_bias[2 * u:]])
-
     # Time block: bounded so 3 input + 1 output (BT, B, u) blocks fit VMEM
     # (~16 MB/core) with double buffering alongside the 3 (u, u) weights.
     bt = 64
     while bt > 8 and 8 * bt * b * u * 4 > 8 << 20:
         bt //= 2
+    if 8 * bt * b * u * 4 > 8 << 20:
+        # Even 8-step blocks blow the VMEM budget (very large folded
+        # batch, e.g. b >= 512 at u = 192): Mosaic would fail allocation
+        # at dispatch — take the lax.scan path instead.
+        return gru_scan_reference(x_proj, rec_kernel, rec_bias, h0)
+
+    # Pre-split gates so in-kernel tensors are (B, u) lane-aligned.
+    xz, xr, xh = (x_proj[..., :u], x_proj[..., u:2 * u], x_proj[..., 2 * u:])
+    wz, wr, wh = (rec_kernel[:, :u], rec_kernel[:, u:2 * u],
+                  rec_kernel[:, 2 * u:])
+    biases = jnp.stack([rec_bias[:u], rec_bias[u:2 * u], rec_bias[2 * u:]])
     t_pad = -(-t // bt) * bt
     if t_pad != t:
         pad = ((0, t_pad - t), (0, 0), (0, 0))

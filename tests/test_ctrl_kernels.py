@@ -217,3 +217,20 @@ def test_f0_processor_cell_step_matches_reference_scan():
     np.testing.assert_array_equal(np.asarray(jnp.stack(outs)),
                                   np.asarray(want))
     np.testing.assert_array_equal(np.asarray(state), np.asarray(want_state))
+
+
+def test_gru_kernel_vmem_fallback_at_huge_folded_batch():
+    """b=512 at u=192 exceeds the kernel's VMEM block budget even at the
+    minimum 8-step time block; gru_scan_pallas must fall back to the
+    lax.scan path instead of dispatching a Mosaic allocation failure.
+    interpret=False on the CPU backend would fail at pallas lowering, so
+    success here proves the fallback branch was taken."""
+    rng = np.random.RandomState(13)
+    B, T, U = 512, 12, 192
+    x_proj = jnp.asarray(rng.randn(T, B, 3 * U).astype(np.float32))
+    rec_k = jnp.asarray(rng.randn(U, 3 * U).astype(np.float32) * 0.05)
+    rec_b = jnp.asarray(rng.randn(3 * U).astype(np.float32) * 0.05)
+    h0 = jnp.zeros((B, U), jnp.float32)
+    want = gp.gru_scan_reference(x_proj, rec_k, rec_b, h0)
+    got = gp.gru_scan_pallas.__wrapped__(x_proj, rec_k, rec_b, h0, 0, False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

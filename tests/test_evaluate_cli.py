@@ -88,15 +88,24 @@ def test_csv_contents_independent_of_batch_size(tmp_path, tiny_eval_env):
     np.testing.assert_allclose(df4['loss_val'], df1['loss_val'], rtol=1e-4)
 
 
-def test_get_wav_writes_one_file_per_segment(tmp_path, tiny_eval_env):
+def test_get_wav_writes_one_file_per_segment(tmp_path, monkeypatch):
     """Every 10 s segment of a track shares meta['filename']; the writer
     must disambiguate with the global segment index instead of
-    overwriting (ADVICE r2: only the last segment's audio survived)."""
+    overwriting (ADVICE r2: only the last segment's audio survived).
+    All five segments here share one filename — the pre-fix writer
+    produced a single wav."""
+    segs = _segments(5)
+    for seg in segs:
+        seg['filename'] = np.asarray([['same_track']])
+    monkeypatch.setattr(pipeline, 'get_test_dataset',
+                        lambda *a, **k: iter(list(segs)))
+    monkeypatch.setattr(
+        configs_module, 'get_model',
+        lambda name, **kw: get_model('dafx22', duration=0.5, n_synths=4))
     out_dir = str(tmp_path / 'wavs')
     args = evaluate_model.process_args(
         ['--batch_size', '2', '--duration', '0.5', '--get_wav',
          '-c', 'tiny', 'data', out_dir])
     evaluate_model.main(args)
     wavs = sorted(os.listdir(os.path.join(out_dir, 'wav')))
-    assert len(wavs) == 5, wavs
-    assert len(set(wavs)) == 5
+    assert wavs == [f'same_track_{i:04d}.wav' for i in range(5)], wavs
