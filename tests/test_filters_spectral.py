@@ -191,3 +191,14 @@ def test_compute_mag_mm_finite_grad_at_silence():
     g = jax.grad(lambda x: jnp.sum(
         spectral.compute_mag(x, size=128, method='mm')))(silent)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_compute_mag_mm_under_vmap():
+    """evaluate_model vmaps the per-segment loss; the mm path must map
+    cleanly (plain einsums) and match the unmapped result."""
+    import jax
+    audio = RNG.randn(3, 8000).astype(np.float32)
+    f = lambda x: spectral.compute_mag(x[None], size=256, method='mm')[0]
+    got = np.asarray(jax.vmap(f)(jnp.asarray(audio)))
+    want = np.asarray(spectral.compute_mag(audio, size=256, method='mm'))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
