@@ -1,5 +1,7 @@
 """Interleaved A/B: dafx22 train step with the loss STFT as rfft vs
-windowed-DFT matmuls (DDSP_PIANO_TPU_STFT=fft vs mm).
+windowed-DFT matmuls (DDSP_PIANO_TPU_STFT=fft vs mm), the mm arm at both
+f32 (HIGHEST) and bf16x3 (HIGH, DDSP_PIANO_TPU_STFT_PREC=high) matmul
+precision.
 
 The multi-scale spectral loss computes six STFT sizes (2048..64) of both
 the target and the synthesized audio, forward and backward; XLA's TPU FFT
@@ -28,8 +30,9 @@ from ddsp_piano_tpu.training.trainer import Trainer
 N = 30
 
 
-def build(stft: str):
+def build(stft: str, prec: str = 'highest'):
     os.environ['DDSP_PIANO_TPU_STFT'] = stft
+    os.environ['DDSP_PIANO_TPU_STFT_PREC'] = prec
     model = get_model('dafx22', duration=3.0)
     trainer = Trainer(model, mesh=mesh_lib.get_mesh_for_batch(1))
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -37,8 +40,8 @@ def build(stft: str):
     batch = trainer.distribute_batch(batch)
     state, losses = trainer.train_step(state, batch)   # trace+compile NOW
     jax.block_until_ready(state.tree()['params'])
-    print(f'{stft}: first-step loss {float(losses["total_loss"]):.6f}',
-          flush=True)
+    print(f'{stft}/{prec}: first-step loss '
+          f'{float(losses["total_loss"]):.6f}', flush=True)
     return trainer, state, batch
 
 
@@ -51,7 +54,11 @@ def run(trainer, state, batch):
 
 
 def main():
-    arms = {name: build(name) for name in ('fft', 'mm')}
+    arms = {name: build(*spec) for name, spec in (
+        ('fft', ('fft',)),
+        ('mm', ('mm', 'highest')),
+        ('mm_high', ('mm', 'high')),
+    )}
     best = {name: 1e9 for name in arms}
     for rep in range(6):
         for name, (trainer, state, batch) in arms.items():

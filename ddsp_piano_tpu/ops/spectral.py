@@ -73,7 +73,13 @@ def stft(audio: Array, frame_size: int = 2048, overlap: float = 0.75,
 @functools.lru_cache(maxsize=16)
 def _dft_mag_basis(frame_size: int):
     """(frame_size, frame_size//2+1) cos/sin DFT bases with the periodic
-    Hann window folded in, built in float64 and cast to f32."""
+    Hann window folded in, built in float64 and cast to f32.
+
+    Returns NUMPY arrays on purpose: the cache is shared across traces, so
+    caching `jnp.asarray` outputs would capture a tracer when the first
+    call happens inside a jit trace and leak it into every later trace
+    with the same size. Numpy constants are staged per-trace by XLA.
+    """
     import numpy as np
     n = np.arange(frame_size, dtype=np.float64)
     k = np.arange(frame_size // 2 + 1, dtype=np.float64)
@@ -82,7 +88,7 @@ def _dft_mag_basis(frame_size: int):
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)
     cos_b = (np.cos(ang) * w[:, None]).astype(np.float32)
     sin_b = (np.sin(ang) * w[:, None]).astype(np.float32)
-    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+    return cos_b, sin_b
 
 
 def _compute_mag_mm(audio: Array, size: int, overlap: float,
@@ -93,14 +99,21 @@ def _compute_mag_mm(audio: Array, size: int, overlap: float,
     (64..2048, 75 % overlap) the windowed-DFT matmul rides the MXU instead.
     Matches the rfft path up to float reassociation (HIGHEST precision) and
     has a finite gradient at zero magnitude (jnp.abs of a complex STFT
-    does not).
+    does not). DDSP_PIANO_TPU_STFT_PREC (read at trace time:
+    'highest' default | 'high' | 'default') selects the TPU matmul pass
+    count (f32 / bf16x3 / bf16) for the two basis einsums — a measurement
+    knob; flip only on a measured win with recorded loss deltas.
     """
     hop = int(size * (1.0 - overlap))
     frames = frame(core.f32(audio), size, hop, pad_end=pad_end)
     cos_b, sin_b = _dft_mag_basis(size)
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.einsum('...tn,nk->...tk', frames, cos_b, precision=hi)
-    im = jnp.einsum('...tn,nk->...tk', frames, sin_b, precision=hi)
+    import os
+    prec = {'highest': jax.lax.Precision.HIGHEST,
+            'high': jax.lax.Precision.HIGH,
+            'default': jax.lax.Precision.DEFAULT}[
+        os.environ.get('DDSP_PIANO_TPU_STFT_PREC', 'highest')]
+    re = jnp.einsum('...tn,nk->...tk', frames, cos_b, precision=prec)
+    im = jnp.einsum('...tn,nk->...tk', frames, sin_b, precision=prec)
     return jnp.sqrt(re * re + im * im + 1e-24)
 
 

@@ -193,6 +193,23 @@ def test_compute_mag_mm_finite_grad_at_silence():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_compute_mag_mm_basis_cache_survives_retrace():
+    """Regression: _dft_mag_basis is lru_cached across traces. When its
+    first call for a size happened INSIDE a jit trace, the cache used to
+    capture that trace's tracers and leak them into every later trace of
+    the same size (UnexpectedTracerError on the second jit). The cache
+    must hold trace-independent (numpy) constants."""
+    import jax
+    size = 96  # unique to this test so the first call is inside jit
+    audio = jnp.asarray(RNG.randn(1, 4000).astype(np.float32))
+    first = jax.jit(
+        lambda x: spectral.compute_mag(x, size=size, method='mm'))(audio)
+    second = jax.jit(jax.grad(lambda x: jnp.sum(
+        spectral.compute_mag(x, size=size, method='mm'))))(audio)
+    assert np.all(np.isfinite(np.asarray(first)))
+    assert np.all(np.isfinite(np.asarray(second)))
+
+
 def test_compute_mag_mm_under_vmap():
     """evaluate_model vmaps the per-segment loss; the mm path must map
     cleanly (plain einsums) and match the unmapped result."""
