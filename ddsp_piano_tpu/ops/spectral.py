@@ -273,4 +273,7 @@ def _linear_to_mel_matrix(num_mel_bins, num_spectrogram_bins, sample_rate,
     down_slope = (upper[None, :] - mel_freqs[:, None]) / np.maximum(
         upper - center, 1e-8)[None, :]
     weights = np.maximum(0.0, np.minimum(up_slope, down_slope))
-    return jnp.asarray(weights, dtype=jnp.float32)
+    # Numpy on purpose: this cache is shared across traces (see
+    # _dft_mag_basis) — caching a jnp array would leak the first trace's
+    # tracer into later traces with the same signature.
+    return weights.astype(np.float32)
