@@ -108,10 +108,15 @@ def _compute_mag_mm(audio: Array, size: int, overlap: float,
     frames = frame(core.f32(audio), size, hop, pad_end=pad_end)
     cos_b, sin_b = _dft_mag_basis(size)
     import os
-    prec = {'highest': jax.lax.Precision.HIGHEST,
-            'high': jax.lax.Precision.HIGH,
-            'default': jax.lax.Precision.DEFAULT}[
-        os.environ.get('DDSP_PIANO_TPU_STFT_PREC', 'highest')]
+    table = {'highest': jax.lax.Precision.HIGHEST,
+             'high': jax.lax.Precision.HIGH,
+             'default': jax.lax.Precision.DEFAULT}
+    name = os.environ.get('DDSP_PIANO_TPU_STFT_PREC', 'highest')
+    if name not in table:
+        raise ValueError(
+            f'DDSP_PIANO_TPU_STFT_PREC={name!r}: expected one of '
+            f'{sorted(table)}')
+    prec = table[name]
     re = jnp.einsum('...tn,nk->...tk', frames, cos_b, precision=prec)
     im = jnp.einsum('...tn,nk->...tk', frames, sin_b, precision=prec)
     return jnp.sqrt(re * re + im * im + 1e-24)
