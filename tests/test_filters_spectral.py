@@ -193,6 +193,34 @@ def test_compute_mag_mm_finite_grad_at_silence():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_mel_matrix_matches_tf_signal():
+    """compute_mel's HTK filterbank == tf.signal.linear_to_mel_weight_matrix
+    (the oracle used by the reference's ddsp.spectral_ops mel path)."""
+    ours = np.asarray(spectral._linear_to_mel_matrix(
+        64, 1025, 16000, 20.0, 8000.0))
+    want = tf.signal.linear_to_mel_weight_matrix(
+        64, 1025, 16000, 20.0, 8000.0).numpy()
+    assert ours.shape == want.shape
+    np.testing.assert_allclose(ours, want, atol=5e-5)
+
+
+def test_compute_mel_applies_filterbank():
+    """compute_mel == |STFT| @ mel matrix, and works across two traces
+    (the matrix cache must not capture tracers)."""
+    import jax
+    audio = RNG.randn(1, 8000).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda x: spectral.compute_mel(x, bins=32, fft_size=512))(
+            jnp.asarray(audio)))
+    mag = np.asarray(spectral.compute_mag(audio, size=512))
+    mel = np.asarray(spectral._linear_to_mel_matrix(
+        32, mag.shape[-1], 16000, 0.0, 8000.0))
+    np.testing.assert_allclose(got, mag @ mel, rtol=1e-5, atol=1e-5)
+    again = jax.jit(lambda x: spectral.compute_mel(
+        x, bins=32, fft_size=512) * 2)(jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(again), 2 * got, rtol=1e-6)
+
+
 def test_compute_mag_mm_basis_cache_survives_retrace():
     """Regression: _dft_mag_basis is lru_cached across traces. When its
     first call for a size happened INSIDE a jit trace, the cache used to
