@@ -12,6 +12,7 @@ protocol.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -107,7 +108,6 @@ def _compute_mag_mm(audio: Array, size: int, overlap: float,
     hop = int(size * (1.0 - overlap))
     frames = frame(core.f32(audio), size, hop, pad_end=pad_end)
     cos_b, sin_b = _dft_mag_basis(size)
-    import os
     table = {'highest': jax.lax.Precision.HIGHEST,
              'high': jax.lax.Precision.HIGH,
              'default': jax.lax.Precision.DEFAULT}
@@ -130,7 +130,6 @@ def compute_mag(audio: Array, size: int = 2048, overlap: float = 0.75,
     forces the windowed-DFT matmul, 'fft' (current default pending the TPU
     A/B) the rfft path.
     """
-    import os
     if method == 'auto':
         method = os.environ.get('DDSP_PIANO_TPU_STFT', 'fft')
     if method == 'mm':
