@@ -238,6 +238,15 @@ def test_compute_mag_mm_basis_cache_survives_retrace():
     assert np.all(np.isfinite(np.asarray(second)))
 
 
+def test_compute_mag_mm_rejects_bad_precision_env(monkeypatch):
+    """An invalid DDSP_PIANO_TPU_STFT_PREC must fail loudly at trace time,
+    not KeyError deep inside the einsum."""
+    monkeypatch.setenv('DDSP_PIANO_TPU_STFT_PREC', 'bf16')
+    audio = jnp.zeros((1, 1000), dtype=jnp.float32)
+    with pytest.raises(ValueError, match='DDSP_PIANO_TPU_STFT_PREC'):
+        spectral.compute_mag(audio, size=128, method='mm')
+
+
 def test_compute_mag_mm_under_vmap():
     """evaluate_model vmaps the per-segment loss; the mm path must map
     cleanly (plain einsums) and match the unmapped result."""
