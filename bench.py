@@ -257,29 +257,18 @@ def _eval_segment(results):
     from ddsp_piano_tpu.configs import get_model
     from ddsp_piano_tpu.data.pipeline import get_dummy_data
 
+    from ddsp_piano_tpu.training.evaluation import build_segment_eval_fn
+
     b = 8
     model = get_model('dafx22', duration=10.0, inference=True)
     params = model.init(jax.random.PRNGKey(0))
-    spec_loss = next(l for l in model.loss_objs
-                     if l.name == 'audio_stft_loss')
     batch = {k: jnp.asarray(v) for k, v in get_dummy_data(
         batch_size=b, duration=10.0, sample_rate=16000).items()}
     seg_indices = jnp.arange(b)
 
-    def eval_fn(p, batch, seg_indices):
-        def single(elem, seg_idx):
-            elem = jax.tree.map(lambda v: v[None], elem)
-            rng = jax.random.fold_in(jax.random.PRNGKey(0), seg_idx)
-            outs = model(p, elem, training=True, rng=rng)
-            synth = outs[spec_loss.output_key]
-            if spec_loss.extract_signal:
-                synth = synth['signal']
-            return (spec_loss.compute_per_element(elem['audio'], synth)[0],
-                    outs['audio_synth'][0])
-
-        return jax.vmap(single)(batch, seg_indices)
-
-    wall, _ = _time_fn(jax.jit(eval_fn), params, batch, seg_indices)
+    # The exact program evaluate_model.py runs (shared definition).
+    wall, _ = _time_fn(jax.jit(build_segment_eval_fn(model)),
+                       params, batch, seg_indices)
     results['eval_segment_ms'] = round(wall / b * 1e3, 2)
 
 

@@ -9,55 +9,20 @@ custom_vjp routing cost +2 ms/step (kernel forward + full scan recompute
 in the backward) and this harness is what caught it. Any nonzero delta
 here is either relay noise or a regression in the AD routing.
 
-Env flags are read at TRACE time, so each jitted step is built under its
-own env setting (two Trainer instances, traced eagerly before the timing
-loop)."""
-import os
-import time
-
-from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
-
-enable_compilation_cache()
-
-import jax
-
-from ddsp_piano_tpu.configs import get_model
-from ddsp_piano_tpu.data.pipeline import get_dummy_data
-from ddsp_piano_tpu.parallel import mesh as mesh_lib
-from ddsp_piano_tpu.training.trainer import Trainer
-
-N = 30
-
-
-def build(ctrl: str):
-    os.environ['DDSP_PIANO_TPU_PALLAS_CTRL'] = ctrl
-    model = get_model('dafx22', duration=3.0)
-    trainer = Trainer(model, mesh=mesh_lib.get_mesh_for_batch(1))
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    batch = get_dummy_data(batch_size=6, duration=3.0, sample_rate=16000)
-    batch = trainer.distribute_batch(batch)
-    state, _ = trainer.train_step(state, batch)   # trace+compile NOW
-    jax.block_until_ready(state.tree()['params'])
-    return trainer, state, batch
-
-
-def run(trainer, state, batch):
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(state.tree()['params'])
-    return (time.perf_counter() - t0) / N * 1e3, state
+Build/run protocol shared with the other A/B scripts in
+benchmarks/_ab_common.py (each arm traced eagerly under its own env)."""
+from _ab_common import build_train_arm, time_steps
 
 
 def main():
-    on = build('1')
-    off = build('0')
+    on = build_train_arm({'DDSP_PIANO_TPU_PALLAS_CTRL': '1'})[:3]
+    off = build_train_arm({'DDSP_PIANO_TPU_PALLAS_CTRL': '0'})[:3]
     on_ms = []
     off_ms = []
     for rep in range(6):
-        ms, _ = run(*on)
+        ms, _ = time_steps(*on)
         on_ms.append(ms)
-        ms, _ = run(*off)
+        ms, _ = time_steps(*off)
         off_ms.append(ms)
         print('rep %d: ctrl_on %.1f ms  ctrl_off %.1f ms'
               % (rep, on_ms[-1], off_ms[-1]), flush=True)

@@ -15,7 +15,12 @@ Variants:
      on-device (the DevicePrefetcher candidate).
 
 Run on the default (TPU) env. N>=60; first 8 steps discarded.
+
+Usage: python benchmarks/profile_host_staging.py <npz_cache_dir>
+(an npz cache produced by preprocess_maestro.py; any few-track cache
+works — the round-3 numbers used a 2-track mini cache).
 """
+import sys
 import time
 
 import numpy as np
@@ -32,11 +37,12 @@ from ddsp_piano_tpu.parallel import mesh as mesh_lib
 from ddsp_piano_tpu.training.trainer import Trainer
 
 N_WARM, N = 8, 60
+CACHE_DIR = sys.argv[1] if len(sys.argv) > 1 else '/tmp/mini_cache_r3'
 
 
 def make_iter():
     ds = pipeline.get_training_dataset(
-        '/tmp/mini_cache_r3', batch_size=6, duration=3.0,
+        CACHE_DIR, batch_size=6, duration=3.0,
         sample_rate=16000, frame_rate=250, max_polyphony=16)
     return pipeline.Prefetcher(ds, depth=4)
 

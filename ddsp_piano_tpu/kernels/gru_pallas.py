@@ -28,6 +28,16 @@ Keras v2 reset_after numerics, bit-matching the scan path's step
 
     z = sig(xz + h Uz + bz);  r = sig(xr + h Ur + br)
     hh = tanh(xh + r * (h Uh + bh));  h' = z h + (1-z) hh
+
+Precision caveat: "bit-matching" holds at like-for-like matmul precision
+(verified in interpreter mode on CPU, where both paths are f32). On real
+TPU the kernel's jnp.dot accumulates in f32 while the scan path's
+jnp.matmul runs at XLA's DEFAULT TPU precision (bf16 multiplies), so the
+two paths diverge at bf16-rounding scale per step; the measured
+end-to-end effect on released weights is a 0.26 % spectral delta, both
+paths sitting on the same ~3.6 % TPU-vs-CPU-f32 baseline (BASELINE.md
+round 3). DDSP_PIANO_TPU_PALLAS_CTRL=0 is therefore a numerics knob only
+up to that scale, not a bit-exact revert on TPU.
 """
 
 from __future__ import annotations
@@ -74,10 +84,9 @@ def _gru_kernel(xz_ref, xr_ref, xh_ref, wz_ref, wr_ref, wh_ref, b_ref,
     jax.lax.fori_loop(0, bt, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4,))
 def gru_scan_pallas(x_proj: Array, rec_kernel: Array, rec_bias: Array,
-                    h0: Array, unused_unroll: int = 0,
-                    interpret: bool = False) -> Array:
+                    h0: Array, interpret: bool = False) -> Array:
     """Run the GRU recurrence over precomputed input projections.
 
     Args:

@@ -132,8 +132,16 @@ def compute_mag(audio: Array, size: int = 2048, overlap: float = 0.75,
     """
     if method == 'auto':
         method = os.environ.get('DDSP_PIANO_TPU_STFT', 'fft')
+        if method not in ('fft', 'mm'):
+            # Loud, like DDSP_PIANO_TPU_STFT_PREC: a silently-misread flag
+            # would corrupt every A/B measurement that uses it.
+            raise ValueError(
+                f"DDSP_PIANO_TPU_STFT={method!r}: expected 'fft' or 'mm'")
     if method == 'mm':
         return _compute_mag_mm(audio, size, overlap, pad_end)
+    if method != 'fft':
+        raise ValueError(
+            f"compute_mag method={method!r}: expected 'auto', 'fft' or 'mm'")
     return jnp.abs(stft(audio, frame_size=size, overlap=overlap,
                         pad_end=pad_end)).astype(jnp.float32)
 

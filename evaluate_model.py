@@ -44,6 +44,9 @@ def process_args(argv=None):
     parser.add_argument('--n_devices', type=int, default=None,
                         help="Devices in the data-parallel mesh "
                              "(default: all).")
+    parser.add_argument('--device', choices=('auto', 'cpu'), default='auto',
+                        help="Force evaluation on CPU (useful on hosts "
+                             "without an accelerator).")
     parser.add_argument('maestro_dir', type=str,
                         help="Path to the MAESTRO dataset.")
     parser.add_argument('out_dir', type=str,
@@ -86,6 +89,11 @@ def _concat_group(group, np, batch_size):
 def main(args):
     import jax
 
+    if getattr(args, 'device', 'auto') == 'cpu':
+        # Must happen before the first backend use (some accelerator
+        # plugins override JAX_PLATFORMS; same knob as the synthesis CLI).
+        jax.config.update('jax_platforms', 'cpu')
+
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
@@ -104,27 +112,10 @@ def main(args):
                  args.batch_size)
     params = mesh_lib.replicate(params, mesh)
 
-    spec_loss = next(l for l in model.loss_objs
-                     if l.name == 'audio_stft_loss')
-
-    def eval_fn(p, batch, seg_indices):
-        # vmap the forward so each segment consumes a key derived from its
-        # GLOBAL index: the training-mode noise realization — and thus the
-        # recorded loss — is then independent of how segments are packed
-        # into batches (b=1 and b=8 sweeps produce the same CSV).
-        def single(elem, seg_idx):
-            elem = jax.tree.map(lambda v: v[None], elem)
-            rng = jax.random.fold_in(jax.random.PRNGKey(0), seg_idx)
-            outs = model(p, elem, training=True, rng=rng)
-            synth = outs[spec_loss.output_key]
-            if spec_loss.extract_signal:
-                synth = synth['signal']
-            return (spec_loss.compute_per_element(elem['audio'], synth)[0],
-                    outs['audio_synth'][0])
-
-        return jax.vmap(single)(batch, seg_indices)
-
-    eval_step = jax.jit(eval_fn)
+    # One shared definition of the vmapped per-segment protocol — bench.py
+    # times exactly this function as eval_segment_ms.
+    from ddsp_piano_tpu.training.evaluation import build_segment_eval_fn
+    eval_step = jax.jit(build_segment_eval_fn(model))
 
     test_dataset = pipeline.get_test_dataset(
         args.maestro_dir, duration=args.duration, batch_size=1,

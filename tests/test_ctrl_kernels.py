@@ -53,7 +53,7 @@ def test_gru_kernel_bit_matches_scan():
                                  params['bias'][1], h0)
     got = gp.gru_scan_pallas.__wrapped__(
         x_proj, params['recurrent_kernel'], params['bias'][1], h0,
-        0, True)
+        interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -232,5 +232,5 @@ def test_gru_kernel_vmem_fallback_at_huge_folded_batch():
     rec_b = jnp.asarray(rng.randn(3 * U).astype(np.float32) * 0.05)
     h0 = jnp.zeros((B, U), jnp.float32)
     want = gp.gru_scan_reference(x_proj, rec_k, rec_b, h0)
-    got = gp.gru_scan_pallas.__wrapped__(x_proj, rec_k, rec_b, h0, 0, False)
+    got = gp.gru_scan_pallas.__wrapped__(x_proj, rec_k, rec_b, h0, False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -238,6 +238,22 @@ def test_compute_mag_mm_basis_cache_survives_retrace():
     assert np.all(np.isfinite(np.asarray(second)))
 
 
+def test_compute_mag_rejects_bad_stft_env(monkeypatch):
+    """An invalid DDSP_PIANO_TPU_STFT must fail loudly, not silently take
+    the fft path (which would corrupt any A/B that believes it set mm)."""
+    monkeypatch.setenv('DDSP_PIANO_TPU_STFT', 'matmul')
+    audio = jnp.zeros((1, 1000), dtype=jnp.float32)
+    with pytest.raises(ValueError, match='DDSP_PIANO_TPU_STFT'):
+        spectral.compute_mag(audio, size=128)
+
+
+def test_compute_mag_rejects_bad_method():
+    """An explicit bogus method= must raise, not return fft magnitudes."""
+    audio = jnp.zeros((1, 1000), dtype=jnp.float32)
+    with pytest.raises(ValueError, match='method'):
+        spectral.compute_mag(audio, size=128, method='bogus')
+
+
 def test_compute_mag_mm_rejects_bad_precision_env(monkeypatch):
     """An invalid DDSP_PIANO_TPU_STFT_PREC must fail loudly at trace time,
     not KeyError deep inside the einsum."""
