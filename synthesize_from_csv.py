@@ -38,11 +38,19 @@ def process_args(argv=None):
                         help=".csv file listing MIDI files to synthesize.")
     parser.add_argument('out_dir', type=str,
                         help="Folder for the synthesized wav files.")
+    parser.add_argument('--device', choices=('auto', 'cpu'), default='auto',
+                        help="Force synthesis on CPU (useful on hosts "
+                             "without an accelerator).")
     return parser.parse_args(argv)
 
 
 def main(args):
     import jax
+
+    if getattr(args, 'device', 'auto') == 'cpu':
+        # Must happen before the first backend use (some accelerator
+        # plugins override JAX_PLATFORMS; same knob as the other CLIs).
+        jax.config.update('jax_platforms', 'cpu')
 
     from ddsp_piano_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
