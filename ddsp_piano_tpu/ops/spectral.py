@@ -127,8 +127,10 @@ def compute_mag(audio: Array, size: int = 2048, overlap: float = 0.75,
     """STFT magnitudes. method: 'auto' | 'fft' | 'mm'.
 
     'auto' resolves via DDSP_PIANO_TPU_STFT (read at trace time): 'mm'
-    forces the windowed-DFT matmul, 'fft' (current default pending the TPU
-    A/B) the rfft path.
+    forces the windowed-DFT matmul, 'fft' (the default) the rfft path.
+    The TPU train-step A/B measured fft vs mm as a wash (38.7 vs 38.6
+    ms/step, BASELINE.md) — 'mm' stays an opt-in knob, kept for its finite
+    zero-magnitude gradient and as an MXU path should FFT cost ever grow.
     """
     if method == 'auto':
         method = os.environ.get('DDSP_PIANO_TPU_STFT', 'fft')
