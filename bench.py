@@ -70,18 +70,29 @@ PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES_PER_S = 819e9
 
 
-def _time_fn(fn, *args, n_iters=100):
+def _time_fn(fn, *args, n_iters=100, reps=3):
     """Steady-state seconds per call (N>=100: relay timings with N<=50
-    iterations are unreliable). Blocks on the last in-order output."""
+    iterations are unreliable). Blocks on the last in-order output.
+
+    Runs ``reps`` timing blocks and returns the MEDIAN block plus the
+    relative spread (max-min)/median — single relay runs spread ~±15 %
+    hour-to-hour (BASELINE.md round-3 protocol note), so every headline
+    key carries its own spread for round-over-round adjudication.
+    """
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iters, out
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        walls.append((time.perf_counter() - t0) / n_iters)
+    med = sorted(walls)[len(walls) // 2]
+    spread = (max(walls) - min(walls)) / med if med else 0.0
+    return med, spread, out
 
 
 def _headline(results):
@@ -100,12 +111,13 @@ def _headline(results):
     def forward(params, feats):
         return model(params, feats, rng=jax.random.PRNGKey(0))['audio_synth']
 
-    wall, audio = _time_fn(forward, params, feats)
+    wall, spread, audio = _time_fn(forward, params, feats)
     assert audio.shape == (1, int(duration * sample_rate))
     assert bool(jnp.isfinite(audio).all())
     results['value'] = round(duration / wall, 2)
     results['vs_baseline'] = round(duration / wall / 200.0, 4)
     results['forward_ms'] = round(wall * 1e3, 3)
+    results['forward_ms_spread_pct'] = round(spread * 100, 1)
 
     # Roofline from the compiled executable's own cost model.
     try:
@@ -124,7 +136,7 @@ def _headline(results):
     # Aggregate serving throughput: batch-8 forward on one chip.
     feats8 = {k: jnp.asarray(v)
               for k, v in build_inputs(duration, batch=8).items()}
-    wall8, _ = _time_fn(forward, params, feats8)
+    wall8, _, _ = _time_fn(forward, params, feats8)
     results['aggregate_b8'] = round(8 * duration / wall8, 2)
     return model, params, feats, duration
 
@@ -152,7 +164,7 @@ def _stage_breakdown(results, model, params, feats):
         return {k: out[k] for k in ctrl_keys}
 
     ctrl_fn = jax.jit(_ctrl)
-    wall_ctrl, ctrl_feats = _time_fn(ctrl_fn, params, feats)
+    wall_ctrl, _, ctrl_feats = _time_fn(ctrl_fn, params, feats)
     results['stage_ctrl_ms'] = round(wall_ctrl * 1e3, 3)
 
     rng = jax.random.PRNGKey(0)
@@ -173,9 +185,9 @@ def _stage_breakdown(results, model, params, feats):
         c = pg.noise.get_controls(p, *args)
         return pg.noise.get_signal(p, rng=rng, **c)
 
-    wall_osc, sig_add = _time_fn(jax.jit(osc_only), ctrl_feats)
+    wall_osc, _, sig_add = _time_fn(jax.jit(osc_only), ctrl_feats)
     results['stage_osc_ms'] = round(wall_osc * 1e3, 3)
-    wall_noise, sig_noise = _time_fn(jax.jit(noise_only), ctrl_feats)
+    wall_noise, _, sig_noise = _time_fn(jax.jit(noise_only), ctrl_feats)
     results['stage_noise_ms'] = round(wall_noise * 1e3, 3)
 
     if pg.reverb is not None:
@@ -190,20 +202,85 @@ def _stage_breakdown(results, model, params, feats):
             c = pg.reverb.get_controls(p, *args)
             return pg.reverb.get_signal(p, rng=rng, **c)
 
-        wall_rev, _ = _time_fn(jax.jit(reverb_only), ctrl_feats, mix)
+        wall_rev, _, _ = _time_fn(jax.jit(reverb_only), ctrl_feats, mix)
         results['stage_reverb_ms'] = round(wall_rev * 1e3, 3)
 
     def synth_only(cf):
         return pg(pg_params, dict(feats, **{
             k: v for k, v in cf.items()}), rng=rng)['signal']
 
-    wall_synth, _ = _time_fn(jax.jit(synth_only), ctrl_feats)
+    wall_synth, _, _ = _time_fn(jax.jit(synth_only), ctrl_feats)
     results['stage_synth_ms'] = round(wall_synth * 1e3, 3)
+
+    # Additive view (VERDICT r3 item 8): cumulative-PREFIX programs of the
+    # real fused forward — ctrl; ctrl+osc; ctrl+osc+noise; full. Each
+    # prefix returns every later-consumed intermediate so XLA cannot
+    # dead-code-eliminate earlier stages, and the last prefix IS the
+    # headline program; successive differences therefore attribute the
+    # fused forward additively (they telescope to the full time), unlike
+    # the stage_*_ms keys above, which re-jit each stage separately and
+    # over-count by lost fusion + dispatch.
+    def prefix_ctrl(p, f):
+        out = control_path(p, f)
+        return {k: out[k] for k in ctrl_keys}
+
+    def prefix_osc(p, f):
+        cf = prefix_ctrl(p, f)
+        args = [fold(cf[c]) for c in pg.additive_controls]
+        ap = pg_params.get(pg.additive.name, {})
+        c = pg.additive.get_controls(ap, *args)
+        sig = pg.additive.get_signal(
+            ap, rng=jax.random.fold_in(rng, 0), **c)
+        return sig, {k: cf[k] for k in list(pg.noise_controls)
+                     + list(pg.reverb_controls)}
+
+    def prefix_noise(p, f):
+        sig_add, rest = prefix_osc(p, f)
+        args = [fold(rest[c]) for c in pg.noise_controls]
+        np_ = pg_params.get(pg.noise.name, {})
+        c = pg.noise.get_controls(np_, *args)
+        sig_noise = pg.noise.get_signal(
+            np_, rng=jax.random.fold_in(rng, 1), **c)
+        n = model.n_synths
+        mix = (sig_add + sig_noise).reshape(
+            n, batch, sig_add.shape[-1]).sum(axis=0)
+        return mix, {k: rest[k] for k in pg.reverb_controls}
+
+    def prefix_full(p, f):
+        mix, rest = prefix_noise(p, f)
+        if pg.reverb is None:
+            return mix
+        rp = pg_params.get(pg.reverb.name, {})
+        args = [mix] + [rest[c] for c in pg.reverb_controls]
+        c = pg.reverb.get_controls(rp, *args)
+        return pg.reverb.get_signal(rp, rng=jax.random.fold_in(rng, 2), **c)
+
+    walls = {}
+    for name, fn in [('ctrl', prefix_ctrl), ('osc', prefix_osc),
+                     ('noise', prefix_noise), ('full', prefix_full)]:
+        walls[name], _, _ = _time_fn(jax.jit(fn), params, feats)
+    results['stage_inc_ctrl_ms'] = round(walls['ctrl'] * 1e3, 3)
+    results['stage_inc_osc_ms'] = round(
+        (walls['osc'] - walls['ctrl']) * 1e3, 3)
+    results['stage_inc_noise_ms'] = round(
+        (walls['noise'] - walls['osc']) * 1e3, 3)
+    results['stage_inc_reverb_ms'] = round(
+        (walls['full'] - walls['noise']) * 1e3, 3)
+    results['stage_inc_total_ms'] = round(walls['full'] * 1e3, 3)
 
 
 def _train_step(results):
-    """dafx22 recipe-shape training step (BASELINE.md row: 53 ms r2)."""
+    """dafx22 recipe-shape training step (BASELINE.md row: 53 ms r2).
+
+    Emits the median-of-3 30-step blocks plus spread, and a train_stage_*
+    attribution (VERDICT r3 item 2): forward / backward / optimizer+host
+    from nested jitted subprograms (loss-only, value_and_grad, full step),
+    plus the multi-scale-loss cost in isolation. Same caveat as the
+    inference stage_* keys: each stage is a separately-jitted program, so
+    stages rank cost centers but are not exactly additive.
+    """
     import jax
+    import jax.numpy as jnp
 
     from ddsp_piano_tpu.configs import get_model
     from ddsp_piano_tpu.data.pipeline import get_dummy_data
@@ -214,15 +291,60 @@ def _train_step(results):
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch = get_dummy_data(batch_size=6, duration=3.0, sample_rate=16000)
 
-    # Warm-up (compile) + 30-step steady state; block on the final state.
+    # Warm-up (compile); blocks of 30 steps, median + spread of 3 blocks.
+    # train_step_ms re-stages the numpy batch every step (the historical
+    # r1-r3 protocol — includes ~8 ms of serialized relay staging that the
+    # train CLI overlaps away via device_prefetch);
+    # train_step_onchip_ms loops on a pre-staged device batch (the A/B
+    # harness protocol, benchmarks/_ab_common.py) and is the number kernel
+    # work moves.
     state, _ = trainer.train_step(state, batch)
     jax.block_until_ready(state.params)
     n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, losses = trainer.train_step(state, batch)
-    jax.block_until_ready(state.params)
-    results['train_step_ms'] = round((time.perf_counter() - t0) / n * 1e3, 2)
+
+    def steps_ms(b):
+        nonlocal state
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, _ = trainer.train_step(state, b)
+            jax.block_until_ready(state.params)
+            walls.append((time.perf_counter() - t0) / n * 1e3)
+        med = sorted(walls)[1]
+        return med, 100 * (max(walls) - min(walls)) / med
+
+    med, spread = steps_ms(batch)
+    results['train_step_ms'] = round(med, 2)
+    results['train_step_ms_spread_pct'] = round(spread, 1)
+    dbatch = trainer.distribute_batch(batch)
+    med_chip, spread_chip = steps_ms(dbatch)
+    results['train_step_onchip_ms'] = round(med_chip, 2)
+    results['train_step_onchip_ms_spread_pct'] = round(spread_chip, 1)
+
+    # -- stage attribution over the same step -----------------------------
+    rng = jax.random.PRNGKey(17)
+
+    def loss_fn(p):
+        outs = model(p, dbatch, training=True, rng=rng)
+        return outs['losses']['total_loss']
+
+    wall_fwd, _, _ = _time_fn(jax.jit(loss_fn), state.params)
+    results['train_stage_fwd_ms'] = round(wall_fwd * 1e3, 2)
+    wall_vg, _, _ = _time_fn(jax.jit(jax.value_and_grad(loss_fn)),
+                             state.params)
+    results['train_stage_bwd_ms'] = round((wall_vg - wall_fwd) * 1e3, 2)
+    results['train_stage_opt_host_ms'] = round(med_chip - wall_vg * 1e3, 2)
+
+    # Multi-scale spectral loss alone (fwd+bwd w.r.t. the synth audio).
+    audio = jnp.asarray(batch['audio'])
+    synth = jax.jit(lambda a: a + 0.01 * jax.random.normal(rng, a.shape))(
+        audio)
+    spectral = model.loss_objs[0]
+    loss_vg = jax.jit(jax.value_and_grad(
+        lambda s: spectral.compute({'audio': audio, 'audio_synth': s})))
+    wall_loss, _, _ = _time_fn(loss_vg, synth)
+    results['train_stage_loss_ms'] = round(wall_loss * 1e3, 2)
 
 
 def _streaming(results, key, config, sample_rate):
@@ -241,11 +363,12 @@ def _streaming(results, key, config, sample_rate):
     synth = StreamingSynthesizer(
         model, chunk_frames=int(chunk_seconds * model.frame_rate))
 
-    wall, audio = _time_fn(
+    wall, spread, audio = _time_fn(
         lambda p, f: synth.synthesize_scanned(p, f), params, feats,
         n_iters=10)
     assert audio.shape[-1] == int(duration * sample_rate), audio.shape
     results[key] = round(duration / wall, 2)
+    results[key + '_spread_pct'] = round(spread * 100, 1)
 
 
 def _eval_segment(results):
@@ -267,8 +390,8 @@ def _eval_segment(results):
     seg_indices = jnp.arange(b)
 
     # The exact program evaluate_model.py runs (shared definition).
-    wall, _ = _time_fn(jax.jit(build_segment_eval_fn(model)),
-                       params, batch, seg_indices)
+    wall, _, _ = _time_fn(jax.jit(build_segment_eval_fn(model)),
+                          params, batch, seg_indices)
     results['eval_segment_ms'] = round(wall / b * 1e3, 2)
 
 
