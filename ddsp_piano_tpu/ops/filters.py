@@ -73,6 +73,50 @@ def crop_and_compensate_delay(audio: Array, audio_size: int, ir_size: int,
     return audio[..., start:start + crop_size]
 
 
+# Single-IR convolutions whose one-shot FFT would be at least this long
+# take the uniformly-partitioned path instead: one huge 1-D transform is
+# the SLOWEST way to run an FFT on TPU (measured 0.34 ms for the v2
+# reverb's 2^18 rfft/irfft pair vs ~0.02 ms for the same convolution as
+# batched 8192-point transforms + a 12-term block-index MAC;
+# benchmarks/profile_synth_stages.py, round 4).
+_PARTITIONED_MIN_FFT = 32768
+_PARTITION_BLOCK = 4096
+
+
+def _fft_convolve_partitioned(audio: Array, impulse_response: Array,
+                              padding: str, delay_compensation: int,
+                              block: int = _PARTITION_BLOCK) -> Array:
+    """Uniformly-partitioned convolution of a single (long) IR per batch.
+
+    Exact rewrite of the one-big-FFT path (same linear convolution, float
+    reassociation only): both signals split into `block`-sample parts,
+    each part FFT'd at 2*block, and output part m = sum_j A[m-j] * H[j]
+    (a short static MAC over IR parts), then irfft + overlap-add. All
+    transforms are batched pow2 FFTs of moderate size — the shape TPU
+    executes well — instead of one giant serial transform.
+    """
+    bsz, n = audio.shape
+    bir, ir_size = impulse_response.shape
+    n_a = -(-n // block)
+    n_h = -(-ir_size // block)
+    fftn = 2 * block
+    a = jnp.pad(audio, ((0, 0), (0, n_a * block - n))).reshape(
+        bsz, n_a, block)
+    h = jnp.pad(impulse_response,
+                ((0, 0), (0, n_h * block - ir_size))).reshape(
+        bir, n_h, block)
+    a_f = jnp.fft.rfft(a, n=fftn, axis=-1)          # (b, n_a, F)
+    h_f = jnp.fft.rfft(h, n=fftn, axis=-1)          # (bir, n_h, F)
+    n_out = n_a + n_h - 1
+    y_f = jnp.zeros((bsz, n_out, a_f.shape[-1]), a_f.dtype)
+    for j in range(n_h):
+        y_f = y_f.at[:, j:j + n_a].add(a_f * h_f[:, j:j + 1])
+    y = jnp.fft.irfft(y_f, n=fftn, axis=-1)         # (b, n_out, 2*block)
+    out = overlap_and_add(y, block)
+    return crop_and_compensate_delay(out, n, ir_size, padding,
+                                     delay_compensation)
+
+
 def fft_convolve(audio: Array, impulse_response: Array,
                  padding: str = 'same',
                  delay_compensation: int = -1) -> Array:
@@ -89,6 +133,15 @@ def fft_convolve(audio: Array, impulse_response: Array,
     impulse_response = core.f32(impulse_response)
     batch_size, audio_size = audio.shape
     if impulse_response.ndim == 2:
+        if (get_fft_size(audio_size, impulse_response.shape[-1])
+                >= _PARTITIONED_MIN_FFT):
+            if impulse_response.shape[0] not in (batch_size, 1):
+                raise ValueError(
+                    f"Batch size of impulse response "
+                    f"({impulse_response.shape[0]}) must match audio "
+                    f"({batch_size}) or be 1.")
+            return _fft_convolve_partitioned(audio, impulse_response,
+                                             padding, delay_compensation)
         impulse_response = impulse_response[:, jnp.newaxis, :]
     batch_size_ir, n_ir_frames, ir_size = impulse_response.shape
     if batch_size_ir not in (batch_size, 1):

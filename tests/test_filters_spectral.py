@@ -40,6 +40,45 @@ def test_fft_convolve_delay_compensation():
     np.testing.assert_allclose(got[1:], audio[0, :-1], rtol=1e-3, atol=1e-4)
 
 
+def test_fft_convolve_partitioned_matches_numpy():
+    """Long single IRs take the uniformly-partitioned path (round 4):
+    exact vs direct convolution, same crop semantics as the one-FFT path."""
+    rng = np.random.RandomState(3)
+    # Shapes straddling both partition-count regimes, incl. a broadcast IR
+    # and a non-multiple-of-block audio length.
+    for b, n, L, comp in [(2, 40000, 30000, 0), (1, 96001, 48000, -1),
+                          (2, 33000, 5000, 0)]:
+        audio = rng.randn(b, n).astype(np.float32)
+        ir = rng.randn(1, L).astype(np.float32)
+        assert filters.get_fft_size(n, L) >= filters._PARTITIONED_MIN_FFT
+        got = np.asarray(filters.fft_convolve(
+            jnp.asarray(audio), jnp.asarray(ir), padding='same',
+            delay_compensation=comp))
+        start = (L - 1) // 2 - 1 if comp < 0 else comp
+        for i in range(b):
+            want = np.convolve(audio[i].astype(np.float64),
+                               ir[0].astype(np.float64))[start:start + n]
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(got[i] / scale, want / scale,
+                                       atol=2e-6)
+
+
+def test_fft_convolve_partitioned_gradient_finite():
+    import jax
+
+    rng = np.random.RandomState(4)
+    audio = jnp.asarray(rng.randn(1, 40000).astype(np.float32))
+    ir = jnp.asarray(rng.randn(1, 30000).astype(np.float32) * 1e-2)
+
+    def loss(ir):
+        return jnp.sum(filters.fft_convolve(audio, ir, padding='same',
+                                            delay_compensation=0) ** 2)
+
+    g = jax.grad(loss)(ir)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0
+
+
 def test_fft_convolve_time_varying_framewise():
     """Each audio block is convolved with its own IR then overlap-added."""
     n_frames, frame_size, ir_size = 4, 50, 11
