@@ -156,6 +156,215 @@ def gru_scan_pallas(x_proj: Array, rec_kernel: Array, rec_bias: Array,
 
 
 # -----------------------------------------------------------------------------
+# Backward GRU kernel (training hot loop; round 4)
+#
+# Round-4 attribution (benchmarks/profile_train_bwd.py): the dafx22 train
+# step's backward is dominated by the CONTROL path, not the oscillator —
+# ctrl fwd+bwd 19.3 ms of the 34.4 ms value_and_grad, because jax.grad
+# linearizes the lax.scan natively: 750 reverse-time iterations of tiny
+# latency-bound matmuls plus residual traffic. This kernel runs the whole
+# reverse recurrence in ONE Pallas program (grid steps walk time blocks
+# BACKWARD; the carried dL/dh lives in VMEM scratch), recomputing the
+# gates from (x_proj, h_{t-1}) instead of loading stored residuals — the
+# forward's own hidden-state output is the only residual needed.
+#
+# The kernel stays PURELY batch-parallel: it emits the per-step gate
+# gradients (dxz, dxr, dxh, drh) and dh0, and the cross-batch/cross-time
+# WEIGHT gradients are formed outside as two bulk einsums —
+#   dU* = einsum('tbi,tbj->ij', h_prev, d*) ,  db* = sum(d*)
+# — which the MXU executes at full tilt and GSPMD all-reduces naturally
+# when the batch is mesh-sharded (no collectives inside the kernel).
+# -----------------------------------------------------------------------------
+
+
+def _gru_bwd_kernel(xz_ref, xr_ref, xh_ref, hprev_ref, g_ref,
+                    wz_ref, wr_ref, wh_ref, wzt_ref, wrt_ref, wht_ref,
+                    b_ref, dxz_ref, dxr_ref, dxh_ref, drh_ref, dh0_ref,
+                    dh_ref, *, bt: int):
+    """One reverse time block: recompute gates, backprop dh through it.
+
+    Index maps feed time block (G-1-i) at grid step i, so the program
+    walks time backward; dh_ref scratch carries dL/dh_{t-1} across blocks.
+    Zero-padded tail steps (t >= T) are processed first with g == 0 and
+    dh == 0, which makes every gradient of theirs exactly zero.
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    bz = b_ref[0]
+    br = b_ref[1]
+    bh = b_ref[2]
+
+    def body(t_rev, carry):
+        t = bt - 1 - t_rev
+        h_prev = hprev_ref[t]
+        # Recompute the forward gates (bit-identical to _gru_kernel).
+        rz = jnp.dot(h_prev, wz_ref[:],
+                     preferred_element_type=jnp.float32) + bz
+        rr = jnp.dot(h_prev, wr_ref[:],
+                     preferred_element_type=jnp.float32) + br
+        rh = jnp.dot(h_prev, wh_ref[:],
+                     preferred_element_type=jnp.float32) + bh
+        z = jax.nn.sigmoid(xz_ref[t] + rz)
+        r = jax.nn.sigmoid(xr_ref[t] + rr)
+        hh = jnp.tanh(xh_ref[t] + r * rh)
+
+        dh = dh_ref[:] + g_ref[t]
+        dz = dh * (h_prev - hh)
+        dpre = (dh * (1.0 - z)) * (1.0 - hh * hh)   # d(xh + r*rh)
+        drh = dpre * r                               # d(h Uh + bh)
+        dr_pre = (dpre * rh) * (r * (1.0 - r))       # d(xr + rr)
+        dz_pre = dz * (z * (1.0 - z))                # d(xz + rz)
+        dh_new = (dh * z
+                  + jnp.dot(dz_pre, wzt_ref[:],
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(dr_pre, wrt_ref[:],
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(drh, wht_ref[:],
+                            preferred_element_type=jnp.float32))
+        dxz_ref[t] = dz_pre
+        dxr_ref[t] = dr_pre
+        dxh_ref[t] = dpre
+        drh_ref[t] = drh
+        dh_ref[:] = dh_new
+        return carry
+
+    jax.lax.fori_loop(0, bt, body, 0)
+    dh0_ref[:] = dh_ref[:]
+
+
+def _gru_reference_vjp(x_proj, rec_kernel, rec_bias, h0, g):
+    """jax.vjp of the reference scan (fallback + parity oracle)."""
+    _, pull = jax.vjp(
+        lambda *a: gru_scan_reference(*a), x_proj, rec_kernel, rec_bias, h0)
+    return pull(g)
+
+
+def _gru_bwd_vmem_bt(b: int, u: int):
+    """Time-block size for the bwd kernel, or None when even 8-step
+    blocks blow VMEM (same escape hatch as the forward; ~2x the streamed
+    blocks per step, so half the forward's budget)."""
+    bt = 64
+    while bt > 8 and 8 * bt * b * u * 4 > 4 << 20:
+        bt //= 2
+    if 8 * bt * b * u * 4 > 4 << 20:
+        return None
+    return bt
+
+
+def _gru_bwd_streams(x_proj: Array, rec_kernel: Array, rec_bias: Array,
+                     h0: Array, hs: Array, g: Array,
+                     interpret: bool = False):
+    """Batch-parallel part of the GRU VJP: per-step gate gradients.
+
+    Returns (dxz, dxr, dxh, drh, dh0) with the (T, B, u) streams
+    unpadded. No cross-batch reductions happen here — weight/bias grads
+    are bulk einsums over these streams at the caller, so this unit is
+    cleanly batch-shardable (see _gru_bwd_partitioned).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, b, three_u = x_proj.shape
+    u = three_u // 3
+    x_proj = x_proj.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    hs = hs.astype(jnp.float32)
+    bt = _gru_bwd_vmem_bt(b, u)
+    assert bt is not None, "caller must take the reference-VJP fallback"
+
+    h_prev = jnp.concatenate([h0[jnp.newaxis].astype(jnp.float32),
+                              hs[:-1]], axis=0)        # (T, B, u)
+    xz, xr, xh = (x_proj[..., :u], x_proj[..., u:2 * u], x_proj[..., 2 * u:])
+    wz, wr, wh = (rec_kernel[:, :u], rec_kernel[:, u:2 * u],
+                  rec_kernel[:, 2 * u:])
+    biases = jnp.stack([rec_bias[:u], rec_bias[u:2 * u], rec_bias[2 * u:]])
+    t_pad = -(-t // bt) * bt
+    h_prev_p = h_prev
+    if t_pad != t:
+        pad = ((0, t_pad - t), (0, 0), (0, 0))
+        xz, xr, xh, h_prev_p, g = (jnp.pad(a, pad)
+                                   for a in (xz, xr, xh, h_prev, g))
+
+    nblocks = t_pad // bt
+    rev = lambda i: (nblocks - 1 - i, 0, 0)
+    x_spec = pl.BlockSpec((bt, b, u), rev, memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((u, u), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((3, u), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    dh0_spec = pl.BlockSpec((b, u), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    dxz, dxr, dxh, drh, dh0 = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, bt=bt),
+        grid=(nblocks,),
+        in_specs=[x_spec] * 5 + [w_spec] * 6 + [b_spec],
+        out_specs=[x_spec] * 4 + [dh0_spec],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b, u), f32)] * 4
+        + [jax.ShapeDtypeStruct((b, u), f32)],
+        scratch_shapes=[pltpu.VMEM((b, u), f32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * b * u * 6 * u,
+            bytes_accessed=4 * (9 * t_pad * b * u + 6 * u * u),
+            transcendentals=3 * t_pad * b * u,
+        ),
+        interpret=interpret,
+    )(xz, xr, xh, h_prev_p, g,
+      wz.astype(f32), wr.astype(f32), wh.astype(f32),
+      wz.T.astype(f32), wr.T.astype(f32), wh.T.astype(f32),
+      biases.astype(f32))
+    return dxz[:t], dxr[:t], dxh[:t], drh[:t], dh0
+
+
+def _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams):
+    """Assemble (dx_proj, d_rec_kernel, d_rec_bias, dh0) from the kernel's
+    per-step streams: two bulk MXU einsums + sums (GSPMD inserts the
+    cross-shard all-reduce when the batch axis is mesh-sharded)."""
+    dxz, dxr, dxh, drh, dh0 = streams
+    h_prev = jnp.concatenate([h0[jnp.newaxis].astype(jnp.float32),
+                              hs[:-1].astype(jnp.float32)], axis=0)
+    dx_proj = jnp.concatenate([dxz, dxr, dxh], axis=-1)
+    hi = jax.lax.Precision.HIGHEST
+    d_k = jnp.concatenate(
+        [jnp.einsum('tbi,tbj->ij', h_prev, d, precision=hi)
+         for d in (dxz, dxr, drh)], axis=-1)
+    d_b = jnp.concatenate(
+        [d.sum(axis=(0, 1)) for d in (dxz, dxr, drh)], axis=-1)
+    return (dx_proj, d_k.astype(rec_kernel.dtype),
+            d_b.astype(rec_bias.dtype), dh0)
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def gru_scan_pallas_bwd(x_proj: Array, rec_kernel: Array, rec_bias: Array,
+                        h0: Array, hs: Array, g: Array,
+                        interpret: bool = False):
+    """VJP of gru_scan_pallas from its own outputs.
+
+    Args:
+        x_proj: (T, B, 3u) input projections (gate order [z, r, h]).
+        rec_kernel: (u, 3u); rec_bias: (3u,); h0: (B, u).
+        hs: (T, B, u) the forward's hidden states (the only residual).
+        g: (T, B, u) cotangent of hs.
+    Returns:
+        (dx_proj (T, B, 3u), d_rec_kernel (u, 3u), d_rec_bias (3u,),
+         dh0 (B, u)) — matching jax.vjp of gru_scan_reference up to
+        float32 reassociation.
+    """
+    t, b, three_u = x_proj.shape
+    if _gru_bwd_vmem_bt(b, three_u // 3) is None:
+        return _gru_reference_vjp(x_proj.astype(jnp.float32), rec_kernel,
+                                  rec_bias, h0, g.astype(jnp.float32))
+    streams = _gru_bwd_streams(x_proj, rec_kernel, rec_bias, h0, hs, g,
+                               interpret=interpret)
+    return _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams)
+
+
+# -----------------------------------------------------------------------------
 # NoteRelease recurrence (control-path hot loop #3)
 # -----------------------------------------------------------------------------
 
@@ -270,6 +479,22 @@ def use_pallas_ctrl() -> bool:
 
     return (jax.default_backend() == 'tpu'
             and os.environ.get('DDSP_PIANO_TPU_PALLAS_CTRL', '') != '0')
+
+
+def use_pallas_ctrl_bwd() -> bool:
+    """Pallas GRU backward (round 4): OPT-IN via
+    DDSP_PIANO_TPU_PALLAS_CTRL_BWD=1. Default routes training grads
+    through the reference-scan VJP (the round-3 custom_jvp behavior):
+    the interleaved train-step A/B (benchmarks/ab_ctrl_bwd.py, N=6)
+    measured the kernel backward at 38.5 ms/step vs 37.7 ms for the
+    scan VJP — XLA's linearized scan keeps the bulk einsums on the MXU
+    and fuses them with the rest of the backward, which the standalone
+    reverse-recurrence kernel cannot. Gradient parity is exact (0.0 rel
+    err on train shapes). Read at trace time."""
+    import os
+
+    return (use_pallas_ctrl()
+            and os.environ.get('DDSP_PIANO_TPU_PALLAS_CTRL_BWD', '') == '1')
 
 
 def gru_scan_reference(x_proj: Array, rec_kernel: Array, rec_bias: Array,
@@ -389,10 +614,89 @@ def _gru_grad(unroll: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _gru_bwd_partitioned():
+    """custom_partitioning for the bwd kernel's batch-parallel streams.
+
+    Every operand/result carries the batch axis except the weights/bias
+    (replicated); there are NO cross-batch reductions inside (the weight
+    gradients are einsums at the caller), so partitioning is the same
+    shard-the-batch story as the forward kernel."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _run(x_proj, rec_kernel, rec_bias, h0, hs, g):
+        return tuple(_gru_bwd_streams(x_proj, rec_kernel, rec_bias, h0,
+                                      hs, g))
+
+    run_cp = custom_partitioning(_run)
+
+    def _bspec(sh):
+        spec = sh.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        st = NamedSharding(mesh, PartitionSpec(b, None))
+        return (seq, seq, seq, seq, st)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        rep2 = NamedSharding(mesh, PartitionSpec(None, None))
+        rep1 = NamedSharding(mesh, PartitionSpec(None))
+        st = NamedSharding(mesh, PartitionSpec(b, None))
+        return (mesh, _run, (seq, seq, seq, seq, st),
+                (seq, rep2, rep1, st, seq, seq))
+
+    run_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=('t b j, k l, m, b n, t b n, t b n -> '
+                       't b n, t b n, t b n, t b n, b n'))
+    return run_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _gru_vjp():
+    """custom_vjp: Pallas kernel forward AND a Pallas reverse-recurrence
+    backward (round 4). The hidden states are the only saved residual;
+    the backward recomputes gates in VMEM and the weight grads form as
+    bulk einsums (round-3's custom_jvp deferred the whole gradient to the
+    native scan linearization — measured 15.2 ms of ctrl backward in the
+    34.4 ms dafx22 value_and_grad, the single largest train cost)."""
+
+    @jax.custom_vjp
+    def run(x_proj, rec_kernel, rec_bias, h0):
+        return _gru_batched()(x_proj, rec_kernel, rec_bias, h0)
+
+    def fwd(x_proj, rec_kernel, rec_bias, h0):
+        hs = _gru_batched()(x_proj, rec_kernel, rec_bias, h0)
+        return hs, (x_proj, rec_kernel, rec_bias, h0, hs)
+
+    def bwd(res, g):
+        x_proj, rec_kernel, rec_bias, h0, hs = res
+        t, b, three_u = x_proj.shape
+        if _gru_bwd_vmem_bt(b, three_u // 3) is None:
+            return _gru_reference_vjp(x_proj.astype(jnp.float32),
+                                      rec_kernel, rec_bias, h0,
+                                      g.astype(jnp.float32))
+        streams = _gru_bwd_partitioned()(x_proj, rec_kernel, rec_bias,
+                                         h0, hs, g)
+        return _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs,
+                                       streams)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
 def gru_scan(x_proj: Array, rec_kernel: Array, rec_bias: Array, h0: Array,
              unroll: int = 16) -> Array:
     """Front door for nn.GRU: Pallas kernel on TPU (differentiable,
     vmappable, mesh-partitionable), reference lax.scan elsewhere."""
+    if use_pallas_ctrl_bwd():
+        return _gru_vjp()(x_proj, rec_kernel, rec_bias, h0)
     if use_pallas_ctrl():
         return _gru_grad(unroll)(x_proj, rec_kernel, rec_bias, h0)
     return gru_scan_reference(x_proj, rec_kernel, rec_bias, h0,

@@ -43,6 +43,12 @@ def _interpret_kernels():
             gp, 'note_release_scan_pallas',
             functools.partial(gp.note_release_scan_pallas.__wrapped__,
                               interpret=True)),
+        mock.patch.object(
+            gp, '_gru_bwd_streams',
+            functools.partial(gp._gru_bwd_streams.__wrapped__,
+                              interpret=True)
+            if hasattr(gp._gru_bwd_streams, '__wrapped__')
+            else functools.partial(gp._gru_bwd_streams, interpret=True)),
         mock.patch.object(gp, 'use_pallas_ctrl', lambda: True),
     )
 
@@ -71,8 +77,10 @@ def test_gru_dispatcher_grad_and_vmap():
     """nn.GRU through the forced-pallas dispatcher: values, gradients,
     and vmap all match the scan path."""
     gru, params, x, _, _ = _gru_inputs(T=50)
-    p1, p2, p3 = _interpret_kernels()
-    with p1, p2, p3:
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        for patch in _interpret_kernels():
+            stack.enter_context(patch)
         got = gru(params, x)
 
         def loss(p):
@@ -147,8 +155,10 @@ def test_note_release_module_dispatcher_parity():
     want, want_state = nr.apply(params, cond, return_state=True)
     want_grad = jax.grad(
         lambda p: jnp.sum(nr.apply(p, cond) ** 2))(params)
-    p1, p2, p3 = _interpret_kernels()
-    with p1, p2, p3:
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        for patch in _interpret_kernels():
+            stack.enter_context(patch)
         got, got_state = nr.apply(params, cond, return_state=True)
         got_grad = jax.jit(jax.grad(
             lambda p: jnp.sum(nr.apply(p, cond) ** 2)))(params)
@@ -177,8 +187,10 @@ def test_ctrl_kernels_partition_over_batch_mesh():
     x_proj_s = jax.device_put(x_proj, sharding)
     h0_s = jax.device_put(h0, NamedSharding(mesh, P('data', None)))
 
-    p1, p2, p3 = _interpret_kernels()
-    with p1, p2, p3:
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        for patch in _interpret_kernels():
+            stack.enter_context(patch)
         out = jax.jit(lambda xp, h: gp.gru_scan(
             xp, params['recurrent_kernel'], params['bias'][1], h))(
                 x_proj_s, h0_s)
@@ -234,3 +246,61 @@ def test_gru_kernel_vmem_fallback_at_huge_folded_batch():
     want = gp.gru_scan_reference(x_proj, rec_k, rec_b, h0)
     got = gp.gru_scan_pallas.__wrapped__(x_proj, rec_k, rec_b, h0, False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gru_bwd_kernel_matches_scan_vjp():
+    """The Pallas backward (round 4) == jax.vjp of the reference scan,
+    on a T not divisible by the time block and a nonzero h0."""
+    rng = np.random.RandomState(11)
+    B, T, U = 4, 37, 16
+    x_proj = jnp.asarray(rng.randn(T, B, 3 * U).astype(np.float32) * 0.3)
+    rec_k = jnp.asarray(rng.randn(U, 3 * U).astype(np.float32) * 0.2)
+    rec_b = jnp.asarray(rng.randn(3 * U).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.randn(B, U).astype(np.float32) * 0.5)
+    g = jnp.asarray(rng.randn(T, B, U).astype(np.float32))
+
+    hs = gp.gru_scan_reference(x_proj, rec_k, rec_b, h0)
+    got = gp.gru_scan_pallas_bwd(x_proj, rec_k, rec_b, h0, hs, g, True)
+    want = gp._gru_reference_vjp(x_proj, rec_k, rec_b, h0, g)
+    names = ('dx_proj', 'd_rec_kernel', 'd_rec_bias', 'dh0')
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+
+
+def test_gru_bwd_vmem_fallback_at_huge_folded_batch():
+    """Shapes past the VMEM budget must take the reference-VJP fallback
+    (interpret=False on CPU would otherwise fail at pallas lowering)."""
+    rng = np.random.RandomState(12)
+    B, T, U = 512, 6, 192
+    x_proj = jnp.asarray(rng.randn(T, B, 3 * U).astype(np.float32) * 0.1)
+    rec_k = jnp.asarray(rng.randn(U, 3 * U).astype(np.float32) * 0.05)
+    rec_b = jnp.zeros((3 * U,), jnp.float32)
+    h0 = jnp.zeros((B, U), jnp.float32)
+    g = jnp.asarray(rng.randn(T, B, U).astype(np.float32))
+    hs = gp.gru_scan_reference(x_proj, rec_k, rec_b, h0)
+    got = gp.gru_scan_pallas_bwd(x_proj, rec_k, rec_b, h0, hs, g, False)
+    want = gp._gru_reference_vjp(x_proj, rec_k, rec_b, h0, g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gru_bwd_dispatcher_custom_vjp_route():
+    """nn.GRU grads through the round-4 custom_vjp dispatcher (kernel
+    forward + kernel backward, both interpreted) == the scan VJP."""
+    import contextlib
+
+    gru, params, x, _, _ = _gru_inputs(T=50)
+    want_grads = jax.grad(lambda p: jnp.sum(gru(p, x) ** 2))(params)
+    with contextlib.ExitStack() as stack:
+        for patch in _interpret_kernels():
+            stack.enter_context(patch)
+        stack.enter_context(
+            mock.patch.object(gp, 'use_pallas_ctrl_bwd', lambda: True))
+        got_grads = jax.jit(jax.grad(
+            lambda p: jnp.sum(gru(p, x) ** 2)))(params)
+    for k in ('kernel', 'recurrent_kernel', 'bias'):
+        np.testing.assert_allclose(np.asarray(got_grads[k]),
+                                   np.asarray(want_grads[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
