@@ -24,6 +24,9 @@ def parity_check():
     rec_b = jnp.asarray(rng.randn(3 * U).astype(np.float32) * 0.1)
     h0 = jnp.zeros((B, U), jnp.float32)
     g = jnp.asarray(rng.randn(T, B, U).astype(np.float32))
+    bt = gp._gru_bwd_vmem_bt(B, U)
+    print(f'bwd kernel time block at (B={B}, U={U}): {bt}'
+          f'{"  (FALLBACK to scan VJP!)" if bt is None else ""}')
     hs = gp.gru_scan_pallas(x_proj, rec_k, rec_b, h0)
     got = gp.gru_scan_pallas_bwd(x_proj, rec_k, rec_b, h0, hs, g)
     want = jax.jit(gp._gru_reference_vjp)(x_proj, rec_k, rec_b, h0, g)

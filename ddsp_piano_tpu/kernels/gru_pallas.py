@@ -245,12 +245,22 @@ def _gru_reference_vjp(x_proj, rec_kernel, rec_bias, h0, g):
 
 def _gru_bwd_vmem_bt(b: int, u: int):
     """Time-block size for the bwd kernel, or None when even 8-step
-    blocks blow VMEM (same escape hatch as the forward; ~2x the streamed
-    blocks per step, so half the forward's budget)."""
+    blocks blow VMEM (same escape hatch as the forward).
+
+    Models the kernel's REAL footprint: 9 grid-streamed (bt, b, u)
+    buffers (5 in + 4 out), each double-buffered by the Pallas pipeline,
+    plus the 7 replicated (u, u)-ish weight blocks — against a 13 MB
+    budget (16 MB/core minus headroom). Round-4 fix: the old formula
+    (8 single-buffered streams vs 4 MB) rejected bt=8 at the dafx22
+    TRAIN shapes (b=96, u=192 -> 4.7 MB), so the backward kernel
+    silently never engaged in training and the first kernel-vs-scan
+    train A/B measured the scan fallback against itself
+    (BASELINE.md round-4 GRU-backward rows)."""
     bt = 64
-    while bt > 8 and 8 * bt * b * u * 4 > 4 << 20:
+    weights = 7 * u * u * 4
+    while bt > 8 and 18 * bt * b * u * 4 + weights > 13 << 20:
         bt //= 2
-    if 8 * bt * b * u * 4 > 4 << 20:
+    if 18 * bt * b * u * 4 + weights > 13 << 20:
         return None
     return bt
 
@@ -482,19 +492,23 @@ def use_pallas_ctrl() -> bool:
 
 
 def use_pallas_ctrl_bwd() -> bool:
-    """Pallas GRU backward (round 4): OPT-IN via
-    DDSP_PIANO_TPU_PALLAS_CTRL_BWD=1. Default routes training grads
-    through the reference-scan VJP (the round-3 custom_jvp behavior):
-    the interleaved train-step A/B (benchmarks/ab_ctrl_bwd.py, N=6)
-    measured the kernel backward at 38.5 ms/step vs 37.7 ms for the
-    scan VJP — XLA's linearized scan keeps the bulk einsums on the MXU
-    and fuses them with the rest of the backward, which the standalone
-    reverse-recurrence kernel cannot. Gradient parity is exact (0.0 rel
-    err on train shapes). Read at trace time."""
+    """Pallas GRU backward (round 4): DEFAULT ON on TPU;
+    DDSP_PIANO_TPU_PALLAS_CTRL_BWD=0 reverts to the round-3 custom_jvp
+    routing (jax.grad linearizes the reference scan natively).
+
+    Measured win: dafx22 train step 37.6 -> 30.0 ms median (interleaved
+    A/B, benchmarks/ab_ctrl_bwd.py, 6 reps x 30 steps). An earlier A/B
+    recorded this kernel as 0.8 ms WORSE — that run was invalid: the old
+    VMEM gate (_gru_bwd_vmem_bt) under-budgeted and rejected bt=8 at the
+    train shapes (B=96, U=192), so both arms silently ran the scan-VJP
+    fallback. Gradient parity vs the scan VJP: exact in f32 (CPU
+    interpret tests); ~1e-3 rel on TPU, where the SCAN's matmuls run at
+    XLA default (bf16) precision while the kernel accumulates f32.
+    Read at trace time."""
     import os
 
     return (use_pallas_ctrl()
-            and os.environ.get('DDSP_PIANO_TPU_PALLAS_CTRL_BWD', '') == '1')
+            and os.environ.get('DDSP_PIANO_TPU_PALLAS_CTRL_BWD', '') != '0')
 
 
 def gru_scan_reference(x_proj: Array, rec_kernel: Array, rec_bias: Array,
