@@ -98,7 +98,26 @@ def main():
     synth0 = jax.jit(lambda a: a + 0.01 * jax.random.normal(
         rng, a.shape))(audio)
 
+    # Optimizer alone (round 4: bench's train_stage_opt_host residue is
+    # ~10 ms — find out whether the optax update is any of it).
+    from ddsp_piano_tpu.training.trainer import Trainer
+    trainer = Trainer(model, learning_rate=1e-3, first_phase=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    grads = jax.jit(jax.grad(full_loss))(state.params)
+
+    def opt_only(p, opt_state, g):
+        import optax
+        updates, opt_state = trainer.optimizer.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state
+
+    def full_step(s):
+        new_s, _ = trainer.train_step(s, batch)
+        return new_s.params
+
     arms = {
+        'opt_only': (jax.jit(opt_only),
+                     (state.params, state.opt_state, grads)),
+        'full_step': (full_step, (state,)),
         'loss_vg': (jax.jit(jax.value_and_grad(loss_of)), (synth0,)),
         'osc_loss_vg': (jax.jit(jax.value_and_grad(osc_loss)), (add_args,)),
         'noise_loss_vg': (jax.jit(jax.value_and_grad(noise_loss)),

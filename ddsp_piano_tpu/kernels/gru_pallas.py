@@ -473,6 +473,253 @@ def note_release_scan_pallas(active_pitch: Array, threshold: Array,
 
 
 # -----------------------------------------------------------------------------
+# NoteRelease backward kernel (round 4: the last scan-linearized recurrence
+# in the train step after the GRU backward kernel landed — its native scan
+# linearization is ~0.9 ms of the dafx22 value_and_grad,
+# benchmarks/profile_ctrl_bwd.py).
+#
+# Same architecture as the GRU pair: a forward variant that additionally
+# streams the pre-update `steps` state (the only residual the backward
+# cannot reconstruct by shifting the outputs), and a reverse-walking
+# backward kernel with the (d_prev, d_steps) cotangent carry in VMEM.
+# Gradient conventions match jax.vjp of note_release_reference exactly,
+# including the ties that REAL data hits: d relu(u)/du = 0 at u == 0, and
+# d min(r, 1)/dr = 0.5 at r == 1 (steps counts integer frames and the
+# threshold can be integral, so steps - threshold lands on 0 and 1).
+# -----------------------------------------------------------------------------
+
+
+def _note_release_res_kernel(x_ref, thresh_ref, s0_ref, out_ref,
+                             state_out_ref, steps_out_ref, state_ref,
+                             *, bt: int, t_total: int):
+    """_note_release_kernel + a (BT, B) stream of the PRE-update steps
+    state (the backward's residual)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        state_ref[:] = s0_ref[:]
+
+    thresh = thresh_ref[0, 0]
+    base = pl.program_id(0) * bt
+
+    def _sat_relu(x, threshold=0.0):
+        return jnp.minimum(jnp.maximum(x - threshold, 0.0), 1.0)
+
+    def body(t, carry):
+        prev = state_ref[0:1, :]
+        steps = state_ref[1:2, :]
+        note = x_ref[pl.dslice(t, 1), :]
+        activity = _sat_relu(note)
+        release_end = _sat_relu(steps, thresh)
+        out = (activity * note
+               + (1.0 - activity) * prev * (1.0 - release_end))
+        new_steps = (steps + 1.0) * (1.0 - activity) * (1.0 - release_end)
+        live = (base + t) < t_total
+        state_ref[0:1, :] = jnp.where(live, out, prev)
+        state_ref[1:2, :] = jnp.where(live, new_steps, steps)
+        out_ref[pl.dslice(t, 1), :] = out
+        steps_out_ref[pl.dslice(t, 1), :] = steps
+        return carry
+
+    jax.lax.fori_loop(0, bt, body, 0)
+    state_out_ref[:] = state_ref[:]
+
+
+def _sat_relu_mask(u):
+    """d/du of min(relu(u), 1) under JAX's conventions: relu grad is 0 at
+    u == 0; the min tie at relu(u) == 1 splits 0.5."""
+    r = jnp.maximum(u, 0.0)
+    inner = jnp.where(r < 1.0, 1.0, jnp.where(r == 1.0, 0.5, 0.0))
+    return jnp.where(u > 0.0, inner, 0.0)
+
+
+def _note_release_bwd_kernel(x_ref, thresh_ref, prev_ref, steps_ref,
+                             g_out_ref, g_state_ref, dx_ref, dthr_ref,
+                             dstate0_ref, carry_ref, dthr_acc_ref,
+                             *, bt: int, t_total: int):
+    """Reverse time block of the F0ProcessorCell VJP.
+
+    carry_ref (2, B) holds (d_prev, d_steps) — the cotangent of the state
+    ENTERING the current step; dthr_acc_ref (1, B) accumulates the
+    per-lane threshold gradient (summed over batch by the caller). Index
+    maps walk time backward; padded steps (t >= t_total) contribute
+    nothing and leave the carry untouched, mirroring the forward's
+    `live` predicate."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[:] = g_state_ref[:]
+        dthr_acc_ref[:] = jnp.zeros_like(dthr_acc_ref)
+
+    thresh = thresh_ref[0, 0]
+    # The index maps walk time BACKWARD: grid step i holds time block
+    # (nblocks - 1 - i), so the live predicate must use that block's base
+    # (the forward kernel's program_id * bt would gate the wrong half).
+    base = (pl.num_programs(0) - 1 - pl.program_id(0)) * bt
+
+    def body(t_rev, c):
+        t = bt - 1 - t_rev
+        note = x_ref[pl.dslice(t, 1), :]
+        prev = prev_ref[pl.dslice(t, 1), :]
+        steps = steps_ref[pl.dslice(t, 1), :]
+
+        a = jnp.minimum(jnp.maximum(note, 0.0), 1.0)
+        u_e = steps - thresh
+        e = jnp.minimum(jnp.maximum(u_e, 0.0), 1.0)
+        mask_a = _sat_relu_mask(note)
+        mask_e = _sat_relu_mask(u_e)
+        one_a = 1.0 - a
+        one_e = 1.0 - e
+
+        g_o = g_out_ref[pl.dslice(t, 1), :] + carry_ref[0:1, :]
+        g_n = carry_ref[1:2, :]
+
+        # out = a*note + (1-a)*prev*(1-e);  ns = (steps+1)*(1-a)*(1-e)
+        g_e = -(g_o * prev + g_n * (steps + 1.0)) * one_a
+        g_a = g_o * (note - prev * one_e) - g_n * (steps + 1.0) * one_e
+        dnote = g_o * a + g_a * mask_a
+        dprev_new = g_o * one_a * one_e
+        dsteps_new = g_n * one_a * one_e + g_e * mask_e
+
+        live = (base + t) < t_total
+        dx_ref[pl.dslice(t, 1), :] = jnp.where(live, dnote, 0.0)
+        carry_ref[0:1, :] = jnp.where(live, dprev_new, carry_ref[0:1, :])
+        carry_ref[1:2, :] = jnp.where(live, dsteps_new, carry_ref[1:2, :])
+        dthr_acc_ref[:] = jnp.where(live,
+                                    dthr_acc_ref[:] + g_e * (-mask_e),
+                                    dthr_acc_ref[:])
+        return c
+
+    jax.lax.fori_loop(0, bt, body, 0)
+    dthr_ref[:] = dthr_acc_ref[:]
+    dstate0_ref[:] = carry_ref[:]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def note_release_scan_pallas_res(active_pitch: Array, threshold: Array,
+                                 state0: Array, interpret: bool = False):
+    """Forward with residuals: (out (T,B,1), final (B,2), steps (T,B))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, b, _ = active_pitch.shape
+    bt = 128
+    t_pad = -(-t // bt) * bt
+    x = active_pitch[..., 0].astype(jnp.float32)
+    if t_pad != t:
+        x = jnp.pad(x, ((0, t_pad - t), (0, 0)))
+
+    out, final_state, steps = pl.pallas_call(
+        functools.partial(_note_release_res_kernel, bt=bt, t_total=t),
+        grid=(t_pad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b), jnp.float32),
+                   jax.ShapeDtypeStruct((2, b), jnp.float32),
+                   jax.ShapeDtypeStruct((t_pad, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, b), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.reshape(threshold.astype(jnp.float32), (1, 1)),
+      state0.astype(jnp.float32).T)
+    return out[:t, :, jnp.newaxis], final_state.T, steps[:t]
+
+
+def _note_release_bwd_streams(active_pitch: Array, threshold: Array,
+                              prev: Array, steps: Array, g_out: Array,
+                              g_state: Array, interpret: bool = False):
+    """Batch-parallel NoteRelease VJP streams: (dx (T,B), dthr_vec (1,B),
+    dstate0 (2,B)). The cross-batch dthr sum happens at the caller so the
+    unit is cleanly batch-shardable (GSPMD inserts the all-reduce)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, b, _ = active_pitch.shape
+    bt = 128
+    t_pad = -(-t // bt) * bt
+    x = active_pitch[..., 0].astype(jnp.float32)
+    g = g_out[..., 0].astype(jnp.float32)
+    prev = prev.astype(jnp.float32)
+    steps = steps.astype(jnp.float32)
+    if t_pad != t:
+        pad = ((0, t_pad - t), (0, 0))
+        x, g, prev, steps = (jnp.pad(a, pad) for a in (x, g, prev, steps))
+
+    nblocks = t_pad // bt
+    rev = lambda i: (nblocks - 1 - i, 0)
+    seq_spec = pl.BlockSpec((bt, b), rev, memory_space=pltpu.VMEM)
+    rep_spec = lambda r: pl.BlockSpec((r, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    dx, dthr_vec, dstate0 = pl.pallas_call(
+        functools.partial(_note_release_bwd_kernel, bt=bt, t_total=t),
+        grid=(nblocks,),
+        in_specs=[seq_spec,
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  seq_spec, seq_spec, seq_spec, rep_spec(2)],
+        out_specs=[seq_spec, rep_spec(1), rep_spec(2)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b), jnp.float32),
+                   jax.ShapeDtypeStruct((1, b), jnp.float32),
+                   jax.ShapeDtypeStruct((2, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, b), jnp.float32),
+                        pltpu.VMEM((1, b), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.reshape(threshold.astype(jnp.float32), (1, 1)),
+      prev, steps, g, g_state.astype(jnp.float32).T)
+    return dx[:t], dthr_vec, dstate0
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def note_release_scan_pallas_bwd(active_pitch: Array, threshold: Array,
+                                 prev: Array, steps: Array, g_out: Array,
+                                 g_state: Array, interpret: bool = False):
+    """VJP of the note-release recurrence from saved residuals.
+
+    Args:
+        active_pitch: (T, B, 1) forward input.
+        threshold: (1,) release threshold in frames.
+        prev: (T, B) pre-step held-note state (shifted outputs).
+        steps: (T, B) pre-step release counter (res-kernel stream).
+        g_out: (T, B, 1) cotangent of the extended-pitch output.
+        g_state: (B, 2) cotangent of the final state.
+    Returns:
+        (dx (T, B, 1), dthreshold (1,), dstate0 (B, 2)) matching jax.vjp
+        of note_release_reference bit-for-bit in f32 (tie conventions
+        included).
+    """
+    dx, dthr_vec, dstate0 = _note_release_bwd_streams(
+        active_pitch, threshold, prev, steps, g_out, g_state,
+        interpret=interpret)
+    dthr = jnp.sum(dthr_vec, dtype=jnp.float32).reshape(
+        jnp.shape(threshold)).astype(threshold.dtype)
+    return dx[:, :, jnp.newaxis], dthr, dstate0.T
+
+
+def _note_release_reference_vjp(active_pitch, threshold, state0, g_out,
+                                g_state):
+    """jax.vjp of the reference scan (fallback + parity oracle)."""
+    _, pull = jax.vjp(lambda *a: note_release_reference(*a),
+                      active_pitch, threshold, state0)
+    return pull((g_out, g_state))
+
+
+# -----------------------------------------------------------------------------
 # Dispatchers: jnp reference scans + the custom_vjp/vmap/partitioning stack
 # (same layering as the oscillator kernels, ops/oscillator.py:264-383: a
 # bare pallas_call has no SPMD partitioning or batching rule, so it must be
@@ -831,9 +1078,138 @@ def _note_release_grad(unroll: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _note_release_res_partitioned():
+    """custom_partitioning for the residual-emitting forward."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _run(active_pitch, threshold, state0):
+        return tuple(note_release_scan_pallas_res(active_pitch, threshold,
+                                                  state0))
+
+    run_cp = custom_partitioning(_run)
+
+    def _bspec(sh):
+        spec = sh.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        return (NamedSharding(mesh, PartitionSpec(None, b, None)),
+                NamedSharding(mesh, PartitionSpec(b, None)),
+                NamedSharding(mesh, PartitionSpec(None, b)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        stream = NamedSharding(mesh, PartitionSpec(None, b))
+        state = NamedSharding(mesh, PartitionSpec(b, None))
+        scalar = NamedSharding(mesh, PartitionSpec())
+        return mesh, _run, (seq, state, stream), (seq, scalar, state)
+
+    run_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='i b j, s, b k -> i b j, b k, i b')
+    return run_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _note_release_bwd_partitioned():
+    """custom_partitioning for the backward streams (batch-shardable;
+    the dthr cross-batch sum happens at the caller under GSPMD)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _run(active_pitch, threshold, prev, steps, g_out, g_state):
+        return tuple(_note_release_bwd_streams(active_pitch, threshold,
+                                               prev, steps, g_out,
+                                               g_state))
+
+    run_cp = custom_partitioning(_run)
+
+    def _bspec(sh):
+        spec = sh.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        stream = NamedSharding(mesh, PartitionSpec(None, b))
+        return (stream,
+                NamedSharding(mesh, PartitionSpec(None, b)),
+                NamedSharding(mesh, PartitionSpec(None, b)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes[0].sharding)
+        seq = NamedSharding(mesh, PartitionSpec(None, b, None))
+        stream = NamedSharding(mesh, PartitionSpec(None, b))
+        state = NamedSharding(mesh, PartitionSpec(b, None))
+        scalar = NamedSharding(mesh, PartitionSpec())
+        return (mesh, _run, (stream, stream, stream),
+                (seq, scalar, stream, stream, seq, state))
+
+    run_cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule='i b j, s, i b, i b, i b j, b k -> i b, s b, k b')
+    return run_cp
+
+
+@functools.lru_cache(maxsize=None)
+def _note_release_vjp():
+    """custom_vjp: Pallas kernel forward AND Pallas reverse-recurrence
+    backward (round 4 — the NoteRelease analogue of _gru_vjp; the scan
+    linearization it replaces is ~0.9 ms of the dafx22 value_and_grad).
+    The residual-emitting forward streams the pre-update `steps` state;
+    `prev` is reconstructed by shifting the outputs."""
+
+    @jax.custom_vjp
+    def run(active_pitch, threshold, state0):
+        return _note_release_batched()(active_pitch, threshold, state0)
+
+    def fwd(active_pitch, threshold, state0):
+        out, final, steps = _note_release_res_partitioned()(
+            active_pitch, threshold, state0)
+        return ((out, final),
+                (active_pitch, threshold, state0, out, steps))
+
+    def bwd(res, g):
+        active_pitch, threshold, state0, out, steps = res
+        g_out, g_state = g
+        prev = jnp.concatenate(
+            [state0[:, 0].astype(jnp.float32)[jnp.newaxis],
+             out[:-1, :, 0].astype(jnp.float32)], axis=0)
+        dx, dthr_vec, dstate0 = _note_release_bwd_partitioned()(
+            active_pitch, threshold, prev, steps, g_out, g_state)
+        dthr = jnp.sum(dthr_vec, dtype=jnp.float32).reshape(
+            jnp.shape(threshold)).astype(threshold.dtype)
+        return (dx[:, :, jnp.newaxis].astype(active_pitch.dtype), dthr,
+                dstate0.T.astype(state0.dtype))
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def use_pallas_nr_bwd() -> bool:
+    """Pallas NoteRelease backward: default OFF — the interleaved train
+    A/B measured it a slight NEGATIVE (median 30.5 ms vs 29.7 with the
+    scan linearization, slower in 5/6 reps; benchmarks/ab_nr_bwd.py).
+    The native scan VJP fuses with its neighbours while the
+    residual-emitting forward kernel adds a (T, B) HBM stream.
+    DDSP_PIANO_TPU_PALLAS_NR_BWD=1 opts in (requires the ctrl kernels).
+    Read at trace time."""
+    import os
+
+    override = os.environ.get('DDSP_PIANO_TPU_PALLAS_NR_BWD', '')
+    return use_pallas_ctrl() and override == '1'
+
+
 def note_release_scan(active_pitch: Array, threshold: Array,
                       state0: Array, unroll: int = 16):
     """Front door for sub_modules.NoteRelease (time-major)."""
+    if use_pallas_nr_bwd():
+        return _note_release_vjp()(active_pitch, threshold, state0)
     if use_pallas_ctrl():
         return _note_release_grad(unroll)(active_pitch, threshold, state0)
     return note_release_reference(active_pitch, threshold, state0,

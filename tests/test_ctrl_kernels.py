@@ -49,6 +49,14 @@ def _interpret_kernels():
                               interpret=True)
             if hasattr(gp._gru_bwd_streams, '__wrapped__')
             else functools.partial(gp._gru_bwd_streams, interpret=True)),
+        mock.patch.object(
+            gp, 'note_release_scan_pallas_res',
+            functools.partial(gp.note_release_scan_pallas_res.__wrapped__,
+                              interpret=True)),
+        mock.patch.object(
+            gp, '_note_release_bwd_streams',
+            functools.partial(gp._note_release_bwd_streams,
+                              interpret=True)),
         mock.patch.object(gp, 'use_pallas_ctrl', lambda: True),
     )
 
@@ -284,6 +292,76 @@ def test_gru_bwd_vmem_fallback_at_huge_folded_batch():
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_note_release_bwd_kernel_matches_scan_vjp():
+    """The round-4 NoteRelease backward kernel == jax.vjp of the
+    reference scan, on release-heavy content with an INTEGRAL threshold
+    so steps - threshold lands exactly on the relu/min gradient ties
+    (steps counts integer frames), T not divisible by the 128-frame
+    block, nonzero state0, and a nonzero final-state cotangent."""
+    rng = np.random.RandomState(5)
+    T, B = 300, 6
+    x = np.zeros((T, B, 1), np.float32)
+    for b in range(B):
+        for s in range(0, 250, 60 + 10 * b):
+            x[s:s + 20, b, 0] = rng.randint(30, 90)
+    x[:, 3, 0] = 0.25        # fractional pitch: interior of the relu
+    x = jnp.asarray(x)
+    threshold = jnp.asarray([6.0], jnp.float32)   # integral -> ties hit
+    s0 = jnp.asarray(rng.randn(B, 2).astype(np.float32) ** 2)
+    g_out = jnp.asarray(rng.randn(T, B, 1).astype(np.float32))
+    g_state = jnp.asarray(rng.randn(B, 2).astype(np.float32))
+
+    out, final, steps = gp.note_release_scan_pallas_res.__wrapped__(
+        x, threshold, s0, interpret=True)
+    want_ys, want_state = gp.note_release_reference(x, threshold, s0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want_ys))
+    np.testing.assert_array_equal(np.asarray(final),
+                                  np.asarray(want_state))
+
+    prev = jnp.concatenate([s0[:, 0][jnp.newaxis], out[:-1, :, 0]],
+                           axis=0)
+    got = gp.note_release_scan_pallas_bwd(x, threshold, prev, steps,
+                                          g_out, g_state, True)
+    want = gp._note_release_reference_vjp(x, threshold, s0, g_out,
+                                          g_state)
+    for name, a, b in zip(('dx', 'dthreshold', 'dstate0'), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_note_release_bwd_dispatcher_custom_vjp_route():
+    """NoteRelease module grads through the round-4 custom_vjp route
+    (kernel forward + kernel backward, interpreted) == the reference
+    scan grads, including release_duration."""
+    import contextlib
+
+    from ddsp_piano_tpu.models import sub_modules as sm
+
+    nr = sm.NoteRelease(frame_rate=250)
+    params = nr.init(jax.random.PRNGKey(0))
+    cond = np.zeros((3, 200, 2), np.float32)
+    cond[:, 20:70, 0] = 60.0
+    cond[:, 120:150, 0] = 72.0
+    cond = jnp.asarray(cond)
+
+    def loss(p):
+        return jnp.sum(nr.apply(p, cond) ** 2)
+
+    want_grad = jax.grad(loss)(params)
+    with contextlib.ExitStack() as stack:
+        for patch in _interpret_kernels():
+            stack.enter_context(patch)
+        stack.enter_context(
+            mock.patch.object(gp, 'use_pallas_nr_bwd', lambda: True))
+        got = nr.apply(params, cond)
+        got_grad = jax.jit(jax.grad(loss))(params)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(nr.apply(params, cond)))
+    np.testing.assert_allclose(
+        np.asarray(got_grad['cell']['release_duration']),
+        np.asarray(want_grad['cell']['release_duration']), rtol=1e-5)
 
 
 def test_gru_bwd_dispatcher_custom_vjp_route():
