@@ -13,11 +13,14 @@ instead of a scatter, which TPU handles poorly.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ddsp_piano_tpu.ops import core
 
@@ -241,6 +244,97 @@ def _frequency_filter_conv(audio: Array, magnitudes: Array,
     return crop_and_compensate_delay(out, n, ir_size, padding, -1)
 
 
+@functools.lru_cache(maxsize=None)
+def _np_ir_basis(n_bands: int, window_size: int) -> np.ndarray:
+    """``frequency_impulse_response(eye(n_bands))`` as a HOST constant.
+
+    numpy mirror of the jnp chain (irfft of the identity -> Hann window ->
+    causal shift), computed in float64 and rounded to float32. The linmap
+    paths below close over the result instead of tracing the jnp chain:
+    in-trace ``jnp.fft.rfft(jnp.eye(...))`` constants are not fully folded
+    by XLA on TPU and cost real runtime (see _linmap_mm_constants).
+    """
+    ir = np.fft.irfft(np.eye(n_bands), axis=-1)
+    ir_size = ir.shape[-1]
+    if window_size <= 0 or window_size > ir_size:
+        window_size = ir_size
+    # core.hann_window(periodic=True): odd lengths share the symmetric
+    # denominator (tf.signal bit-convention).
+    if window_size == 1:
+        window = np.ones((1,))
+    else:
+        denom = window_size + (1 - window_size % 2) - 1
+        window = 0.5 - 0.5 * np.cos(
+            2.0 * np.pi * np.arange(window_size) / denom)
+    padding = ir_size - window_size
+    if padding > 0:
+        half_idx = (window_size + 1) // 2
+        window = np.concatenate(
+            [window[half_idx:], np.zeros((padding,)), window[:half_idx]])
+    else:
+        window = np.fft.fftshift(window)
+    ir = window * ir
+    if padding > 0:
+        first_half_start = (ir_size - (half_idx - 1)) + 1
+        second_half_end = half_idx + 1
+        ir = np.concatenate([ir[..., first_half_start:],
+                             ir[..., :second_half_end]], axis=-1)
+    else:
+        ir = np.fft.fftshift(ir, axes=-1)
+    return ir.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _linmap_mm_constants(frame_size: int, n_bands: int, window_size: int,
+                         fft_size: int):
+    """Host-side DFT/basis matrices for the all-matmul linmap branch.
+
+    Returns float32 numpy ``(w2, b2, inv2)``: forward DFT of a
+    frame_size-sample real frame, basis-IR spectra, and the inverse DFT
+    restricted to the conv_size supported outputs — real/imag concatenated
+    on the spectrum axis so each rides ONE einsum. Computed with np.fft on
+    host: closing over numpy constants measured 0.698 -> 0.621 ms on the
+    shipped v2 noise filtering vs materializing the same matrices with
+    in-trace jnp.fft (benchmarks/ab_noise_fft_shipped.py, round 4,
+    parity 5.9e-7 of peak).
+    """
+    basis = _np_ir_basis(n_bands, window_size).astype(np.float64)
+    ir_size = basis.shape[-1]
+    conv_size = frame_size + ir_size - 1
+    n_freqs = fft_size // 2 + 1
+    bf = np.fft.rfft(basis, n=fft_size, axis=-1)            # (K, F)
+    w = np.fft.rfft(np.eye(frame_size), n=fft_size, axis=-1)  # (fs, F)
+    w2 = np.concatenate([w.real, w.imag], axis=1).astype(np.float32)
+    b2 = np.concatenate([bf.real, bf.imag], axis=1).astype(np.float32)
+    inv = np.fft.irfft(np.eye(n_freqs, dtype=np.complex128),
+                       n=fft_size, axis=-1)[:, :conv_size]
+    inv_im = np.fft.irfft(1j * np.eye(n_freqs, dtype=np.complex128),
+                          n=fft_size, axis=-1)[:, :conv_size]
+    inv2 = np.concatenate([inv, inv_im], axis=0).astype(np.float32)
+    return w2, b2, inv2
+
+
+def _mm_fft_size(frame_size: int, ir_size: int) -> int:
+    """Transform size for the all-matmul (DFT-as-matmul) branch below.
+
+    The matmul branch never executes a real FFT at runtime, so any size
+    >= conv_size = frame + ir - 1 realizes the SAME linear convolution —
+    pow2 is only an FFT-algorithm constraint. The minimum size measured
+    13 % faster than the pow2 size at the v2 noise shapes (96-in-X
+    frames, K=96: pow2-512 1.017 / lane-aligned-510 0.965 / min-285
+    0.881 ms — smaller intermediates beat MXU lane alignment;
+    benchmarks/profile_noise_stage.py, round 4, parity 4.5e-7 of peak).
+    DDSP_PIANO_TPU_NOISE_FFT=pow2 reverts (read at trace time).
+    """
+    choice = os.environ.get('DDSP_PIANO_TPU_NOISE_FFT', 'min')
+    if choice not in ('min', 'pow2'):
+        raise ValueError(
+            f"DDSP_PIANO_TPU_NOISE_FFT={choice!r}: expected 'min' or 'pow2'")
+    if choice == 'pow2':
+        return get_fft_size(frame_size, ir_size, power_of_2=True)
+    return frame_size + ir_size - 1
+
+
 # Precision of the linmap/DFT-as-matmul einsums below. HIGHEST keeps the
 # rewrite exact-f32 on TPU (default matmul precision there is bf16, which
 # would silently cost ~3 digits on the default noise path while the CPU-run
@@ -256,8 +350,9 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
     The per-frame filter spectrum is linear in the magnitudes: the chain
     irfft -> Hann window -> causal shift -> zero-pad -> rfft is a fixed
     linear map, so rfft(ir_t) == mags_t @ B where B is the chain applied
-    to the identity (constant-folded at compile time; (n_bands, fft//2+1)
-    complex). This deletes two of the block-FFT path's three batched FFT
+    to the identity (a numpy HOST constant closed over the jit;
+    (n_bands, fft//2+1) complex). This deletes two of the block-FFT
+    path's three batched FFT
     families (the magnitudes irfft and the IR rfft — tens of thousands of
     small TPU FFTs on the hot noise path) and replaces them with one MXU
     matmul. Exact up to float reassociation.
@@ -265,45 +360,53 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
     batch, n = audio.shape
     _, n_frames, n_bands = magnitudes.shape
     frame_size = -(-n // n_frames)
-    basis = frequency_impulse_response(jnp.eye(n_bands, dtype=jnp.float32),
-                                       window_size=window_size)
+    basis = _np_ir_basis(n_bands, window_size)             # host (K, ir)
     # The window may TRUNCATE the IR (window_size < 2*(n_bands-1)); take
     # the realized length so fft size / crop delay match the 'fft' path.
     ir_size = basis.shape[-1]
-    fft_size = get_fft_size(frame_size, ir_size, power_of_2=True)
-    basis_fft = jnp.fft.rfft(basis, n=fft_size, axis=-1)   # (K, F) complex
+    fft_pow2 = get_fft_size(frame_size, ir_size, power_of_2=True)
+    conv_size = frame_size + ir_size - 1
+    use_mm = frame_size * 4 <= fft_pow2 * 3
+    # The matmul branch needs no pow2 (see _mm_fft_size); the real-FFT
+    # fallback keeps it (pow2 FFTs are the fast ones).
+    fft_size = _mm_fft_size(frame_size, ir_size) if use_mm else fft_pow2
     mags = core.f32(magnitudes)
     hi = LINMAP_PRECISION
-    ir_re = jnp.einsum('btk,kf->btf', mags, basis_fft.real, precision=hi)
-    ir_im = jnp.einsum('btk,kf->btf', mags, basis_fft.imag, precision=hi)
 
     pad = n_frames * frame_size - n
     audio_frames = jnp.pad(audio, ((0, 0), (0, pad))).reshape(
         batch, n_frames, frame_size)
 
-    conv_size = frame_size + ir_size - 1
-    if frame_size * 4 <= fft_size * 3:
-        # DFT-as-matmul: the frames are `frame_size` real samples inside an
-        # `fft_size` transform (Nyquist forces a pow2 well above the frame)
-        # so the forward transform is a (frame_size, fft//2+1) matmul and
-        # the inverse only needs the conv_size supported outputs — both
-        # MXU matmuls. Measured ~8x faster than the batched small-FFT
-        # lowering for the noise synth's (16, 1000) x 96-in-512 shapes.
-        w = jnp.fft.rfft(jnp.eye(frame_size, dtype=jnp.float32),
-                         n=fft_size, axis=-1)               # (fs, F)
-        a_re = jnp.einsum('btj,jf->btf', audio_frames, w.real, precision=hi)
-        a_im = jnp.einsum('btj,jf->btf', audio_frames, w.imag, precision=hi)
-        p_re = a_re * ir_re - a_im * ir_im
-        p_im = a_re * ir_im + a_im * ir_re
+    if use_mm:
+        # DFT-as-matmul: the frames are `frame_size` real samples inside a
+        # `fft_size` >= conv_size transform, so the forward transform is a
+        # (frame_size, fft//2+1) matmul and the inverse only needs the
+        # conv_size supported outputs — both MXU matmuls. Measured ~8x
+        # faster than the batched small-FFT lowering for the noise synth's
+        # (16, 1000) x 96-sample-frame shapes. Real and imaginary parts
+        # ride ONE einsum each via a concatenated (…, 2F) spectrum axis —
+        # 6 einsums fused into 3 (0.727 -> 0.634 ms at the compact size;
+        # the same fusion at pow2 size was a LOSS, 0.780 — bigger concat
+        # intermediates; benchmarks/ab_noise_linmap.py). All DFT/basis
+        # matrices are numpy HOST constants: 0.698 -> 0.621 ms vs in-trace
+        # jnp.fft.rfft(eye) (benchmarks/ab_noise_fft_shipped.py, round 4).
+        w2, b2, inv2 = _linmap_mm_constants(frame_size, n_bands,
+                                            window_size, fft_size)
+        a2 = jnp.einsum('btj,jf->btf', audio_frames, w2, precision=hi)
+        i2 = jnp.einsum('btk,kf->btf', mags, b2, precision=hi)
         n_freqs = fft_size // 2 + 1
-        inv = jnp.fft.irfft(jnp.eye(n_freqs, dtype=jnp.complex64),
-                            n=fft_size, axis=-1)[:, :conv_size]  # (F, conv)
-        inv_im = jnp.fft.irfft(1j * jnp.eye(n_freqs, dtype=jnp.complex64),
-                               n=fft_size, axis=-1)[:, :conv_size]
-        out_frames = (jnp.einsum('btf,fm->btm', p_re, inv, precision=hi)
-                      + jnp.einsum('btf,fm->btm', p_im, inv_im,
-                                   precision=hi))
+        a_re, a_im = a2[..., :n_freqs], a2[..., n_freqs:]
+        ir_re, ir_im = i2[..., :n_freqs], i2[..., n_freqs:]
+        p2 = jnp.concatenate([a_re * ir_re - a_im * ir_im,
+                              a_re * ir_im + a_im * ir_re], axis=-1)
+        out_frames = jnp.einsum('btf,fm->btm', p2, inv2, precision=hi)
     else:
+        basis_fft = np.fft.rfft(basis.astype(np.float64),
+                                n=fft_size, axis=-1)        # host (K, F)
+        b_re = basis_fft.real.astype(np.float32)
+        b_im = basis_fft.imag.astype(np.float32)
+        ir_re = jnp.einsum('btk,kf->btf', mags, b_re, precision=hi)
+        ir_im = jnp.einsum('btk,kf->btf', mags, b_im, precision=hi)
         ir_fft = jax.lax.complex(ir_re, ir_im)
         audio_fft = jnp.fft.rfft(audio_frames, n=fft_size, axis=-1)
         out_frames = jnp.fft.irfft(audio_fft * ir_fft, n=fft_size,

@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -28,6 +29,30 @@ from ddsp_piano_tpu.ops import core, filters
 from ddsp_piano_tpu.processors.base import Processor
 
 Array = jax.Array
+
+
+def _noise_rng_key(rng: Array) -> Array:
+    """Re-wrap the noise key per DDSP_PIANO_TPU_NOISE_RNG (trace-time env).
+
+    'threefry' (default) keeps the global partitionable threefry stream.
+    'rbg' derives an rbg-impl key from the same key data, routing the
+    uniform draw through XLA's RngBitGenerator (TPU hardware generator
+    instead of ~10 VPU rounds/word of threefry). The reference's noise is
+    UNSEEDED tf.random.uniform (ddsp FilteredNoise semantics), so any
+    well-distributed stream is in-spec; rbg streams are backend-dependent
+    but deterministic per (key, backend). Measured on TPU v5e round 4
+    (benchmarks/profile_noise_rng.py) before flipping any default.
+    """
+    impl = os.environ.get('DDSP_PIANO_TPU_NOISE_RNG', 'threefry')
+    if impl == 'threefry':
+        return rng
+    if impl != 'rbg':
+        raise ValueError(
+            f"DDSP_PIANO_TPU_NOISE_RNG={impl!r}: expected 'threefry' or "
+            "'rbg'")
+    data = jax.random.key_data(rng)              # (2,) uint32
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]),
+                                    impl='rbg')
 
 
 class FilteredNoise(Processor):
@@ -50,6 +75,7 @@ class FilteredNoise(Processor):
     def _noise(self, rng, batch_size, n_samples):
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        rng = _noise_rng_key(rng)
         return jax.random.uniform(rng, (batch_size, n_samples),
                                   jnp.float32, -1.0, 1.0)
 

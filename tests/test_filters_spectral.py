@@ -179,6 +179,54 @@ def test_frequency_filter_conv_matches_fft():
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-5)
 
 
+def test_linmap_min_fft_size_matches_pow2(monkeypatch):
+    """The mm branch's minimal (conv_size) DFT is the same linear
+    convolution as the pow2 one (round 4: 13 % faster on TPU); both env
+    settings must agree to float reassociation."""
+    from ddsp_piano_tpu.ops import filters
+
+    rng = np.random.RandomState(1)
+    audio = rng.randn(2, 4800).astype(np.float32)       # 50 frames x 96
+    mags = rng.rand(2, 50, 96).astype(np.float32)
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_FFT', 'min')
+    lo = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                             method='linmap'))
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_FFT', 'pow2')
+    hi = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                             method='linmap'))
+    np.testing.assert_allclose(lo, hi, atol=1e-5 * np.abs(hi).max())
+
+
+def test_np_ir_basis_matches_traced_chain():
+    """The numpy host-constant basis (round 4: closing over numpy beats
+    in-trace jnp.fft constants by ~11 % on TPU) must match the jnp
+    frequency_impulse_response chain it mirrors, including the
+    window-truncation and the no-padding (window >= ir) branches."""
+    from ddsp_piano_tpu.ops import filters
+
+    for n_bands, window in [(96, 257), (65, 257), (65, 0), (33, 64),
+                            (17, 1)]:
+        got = filters._np_ir_basis(n_bands, window)
+        want = np.asarray(filters.frequency_impulse_response(
+            jnp.eye(n_bands, dtype=jnp.float32), window_size=window))
+        assert got.shape == want.shape, (n_bands, window)
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=str((n_bands, window)))
+
+
+def test_linmap_rejects_bad_noise_fft_env(monkeypatch):
+    """An invalid DDSP_PIANO_TPU_NOISE_FFT must fail loudly at trace time,
+    not silently take either transform size."""
+    from ddsp_piano_tpu.ops import filters
+
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_FFT', '512')
+    audio = np.zeros((1, 960), np.float32)
+    mags = np.ones((1, 10, 65), np.float32)
+    with pytest.raises(ValueError, match='DDSP_PIANO_TPU_NOISE_FFT'):
+        filters.frequency_filter(audio, mags, window_size=257,
+                                 method='linmap')
+
+
 def test_linmap_matches_fft_path_with_truncating_window():
     """window_size < 2*(n_bands-1) truncates the basis IRs; the linmap
     path must size fft/crop from the REALIZED IR length (regression:

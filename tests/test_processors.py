@@ -94,6 +94,25 @@ class TestFilteredNoise:
         want = float(np.asarray(core.exp_sigmoid(-5.0)))
         assert abs(got - want) < 1e-6
 
+    def test_rbg_rng_mode(self, monkeypatch):
+        """DDSP_PIANO_TPU_NOISE_RNG=rbg must draw valid uniform(-1,1)
+        noise (hardware-RNG path on TPU), deterministic per key, and the
+        knob must reject unknown values at trace time."""
+        monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_RNG', 'rbg')
+        synth = processors.DynamicSizeFilteredNoise(frame_rate=250,
+                                                    sample_rate=16000)
+        n1 = np.asarray(synth._noise(jax.random.PRNGKey(3), 4, 4096))
+        n2 = np.asarray(synth._noise(jax.random.PRNGKey(3), 4, 4096))
+        n3 = np.asarray(synth._noise(jax.random.PRNGKey(4), 4, 4096))
+        np.testing.assert_array_equal(n1, n2)
+        assert np.abs(n1 - n3).max() > 0.1          # key changes the stream
+        assert n1.min() >= -1.0 and n1.max() <= 1.0
+        assert abs(n1.mean()) < 0.05 and abs(n1.std() - 0.577) < 0.02
+
+        monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_RNG', 'philox')
+        with pytest.raises(ValueError, match='DDSP_PIANO_TPU_NOISE_RNG'):
+            synth._noise(jax.random.PRNGKey(0), 1, 64)
+
 
 class TestReverb:
     def test_dry_masking_and_add_dry(self):
