@@ -342,6 +342,30 @@ def _mm_fft_size(frame_size: int, ir_size: int) -> int:
 LINMAP_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _linmap_precision():
+    """Resolve the linmap einsum precision (trace-time env override).
+
+    DDSP_PIANO_TPU_NOISE_PREC unset -> LINMAP_PRECISION (HIGHEST: the
+    default noise path's contract is exact-f32, ADVICE r2). 'high' /
+    'default' select bf16x3 / bf16 MXU passes: measured 0.635 / 0.565 /
+    0.525 ms isolated on the v2 noise filtering at parity 3.2e-5 /
+    5.3e-3 of peak (benchmarks/ab_noise_prec.py, round 4) — a real ~25 %
+    / ~38 % cut of the chain, kept OPT-IN because it trades the exactness
+    contract; flip only per-deployment with recorded spectral deltas.
+    """
+    name = os.environ.get('DDSP_PIANO_TPU_NOISE_PREC')
+    if name is None:
+        return LINMAP_PRECISION
+    table = {'highest': jax.lax.Precision.HIGHEST,
+             'high': jax.lax.Precision.HIGH,
+             'default': jax.lax.Precision.DEFAULT}
+    if name not in table:
+        raise ValueError(
+            f'DDSP_PIANO_TPU_NOISE_PREC={name!r}: expected one of '
+            f'{sorted(table)}')
+    return table[name]
+
+
 def _frequency_filter_linmap(audio: Array, magnitudes: Array,
                              window_size: int, padding: str) -> Array:
     """Framed time-varying filtering with the IR SPECTRA computed as one
@@ -371,7 +395,7 @@ def _frequency_filter_linmap(audio: Array, magnitudes: Array,
     # fallback keeps it (pow2 FFTs are the fast ones).
     fft_size = _mm_fft_size(frame_size, ir_size) if use_mm else fft_pow2
     mags = core.f32(magnitudes)
-    hi = LINMAP_PRECISION
+    hi = _linmap_precision()
 
     pad = n_frames * frame_size - n
     audio_frames = jnp.pad(audio, ((0, 0), (0, pad))).reshape(

@@ -40,8 +40,14 @@ def _noise_rng_key(rng: Array) -> Array:
     instead of ~10 VPU rounds/word of threefry). The reference's noise is
     UNSEEDED tf.random.uniform (ddsp FilteredNoise semantics), so any
     well-distributed stream is in-spec; rbg streams are backend-dependent
-    but deterministic per (key, backend). Measured on TPU v5e round 4
-    (benchmarks/profile_noise_rng.py) before flipping any default.
+    but deterministic per (key, backend).
+
+    MEASURED NEGATIVE on TPU v5e (round 4, benchmarks/profile_noise_rng.py,
+    interleaved with an empty-program floor arm): the (16, 96000) threefry
+    draw costs ~5 us real (0.373 ms isolated vs 0.368 floor) and rbg is
+    slightly SLOWER (0.400 — key-rewrap overhead). threefry stays the
+    default; the knob is kept as the measurement arm. An earlier ~0.2 ms
+    estimate for the draw was relay noise — trust only interleaved A/Bs.
     """
     impl = os.environ.get('DDSP_PIANO_TPU_NOISE_RNG', 'threefry')
     if impl == 'threefry':

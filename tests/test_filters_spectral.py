@@ -197,6 +197,35 @@ def test_linmap_min_fft_size_matches_pow2(monkeypatch):
     np.testing.assert_allclose(lo, hi, atol=1e-5 * np.abs(hi).max())
 
 
+def test_linmap_precision_env_knob(monkeypatch):
+    """DDSP_PIANO_TPU_NOISE_PREC selects the linmap einsum pass count
+    (round-4 measurement knob; default stays HIGHEST per ADVICE r2). On
+    CPU all settings are exact — this pins resolution + loud failure."""
+    import jax
+    from ddsp_piano_tpu.ops import filters
+
+    assert filters._linmap_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_PREC', 'high')
+    assert filters._linmap_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_PREC', 'default')
+    assert filters._linmap_precision() == jax.lax.Precision.DEFAULT
+
+    rng = np.random.RandomState(2)
+    audio = rng.randn(1, 960).astype(np.float32)
+    mags = rng.rand(1, 10, 65).astype(np.float32)
+    got = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                              method='linmap'))
+    monkeypatch.delenv('DDSP_PIANO_TPU_NOISE_PREC')
+    want = np.asarray(filters.frequency_filter(audio, mags, window_size=257,
+                                               method='linmap'))
+    np.testing.assert_allclose(got, want, atol=1e-6)  # CPU: prec is moot
+
+    monkeypatch.setenv('DDSP_PIANO_TPU_NOISE_PREC', 'bf16')
+    with pytest.raises(ValueError, match='DDSP_PIANO_TPU_NOISE_PREC'):
+        filters.frequency_filter(audio, mags, window_size=257,
+                                 method='linmap')
+
+
 def test_np_ir_basis_matches_traced_chain():
     """The numpy host-constant basis (round 4: closing over numpy beats
     in-trace jnp.fft constants by ~11 % on TPU) must match the jnp
