@@ -331,14 +331,17 @@ def _gru_bwd_streams(x_proj: Array, rec_kernel: Array, rec_bias: Array,
     return dxz[:t], dxr[:t], dxh[:t], drh[:t], dh0
 
 
-def _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams):
+def _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams,
+                            x_dtype=jnp.float32):
     """Assemble (dx_proj, d_rec_kernel, d_rec_bias, dh0) from the kernel's
     per-step streams: two bulk MXU einsums + sums (GSPMD inserts the
     cross-shard all-reduce when the batch axis is mesh-sharded)."""
     dxz, dxr, dxh, drh, dh0 = streams
     h_prev = jnp.concatenate([h0[jnp.newaxis].astype(jnp.float32),
                               hs[:-1].astype(jnp.float32)], axis=0)
-    dx_proj = jnp.concatenate([dxz, dxr, dxh], axis=-1)
+    # Cotangent dtype must match the primal's (JAX enforces this for
+    # custom_vjp); all current callers feed f32 but keep the symmetry.
+    dx_proj = jnp.concatenate([dxz, dxr, dxh], axis=-1).astype(x_dtype)
     hi = jax.lax.Precision.HIGHEST
     d_k = jnp.concatenate(
         [jnp.einsum('tbi,tbj->ij', h_prev, d, precision=hi)
@@ -371,7 +374,8 @@ def gru_scan_pallas_bwd(x_proj: Array, rec_kernel: Array, rec_bias: Array,
                                   rec_bias, h0, g.astype(jnp.float32))
     streams = _gru_bwd_streams(x_proj, rec_kernel, rec_bias, h0, hs, g,
                                interpret=interpret)
-    return _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams)
+    return _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs, streams,
+                                   x_dtype=x_proj.dtype)
 
 
 # -----------------------------------------------------------------------------
@@ -946,7 +950,7 @@ def _gru_vjp():
         streams = _gru_bwd_partitioned()(x_proj, rec_kernel, rec_bias,
                                          h0, hs, g)
         return _gru_grads_from_streams(rec_kernel, rec_bias, h0, hs,
-                                       streams)
+                                       streams, x_dtype=x_proj.dtype)
 
     run.defvjp(fwd, bwd)
     return run

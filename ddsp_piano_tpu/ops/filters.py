@@ -116,6 +116,17 @@ def _fft_convolve_partitioned(audio: Array, impulse_response: Array,
         y_f = y_f.at[:, j:j + n_a].add(a_f * h_f[:, j:j + 1])
     y = jnp.fft.irfft(y_f, n=fftn, axis=-1)         # (b, n_out, 2*block)
     out = overlap_and_add(y, block)
+    # The one-big-FFT path this replaces produces fft_size >= conv_size
+    # samples (zero beyond the linear convolution), while overlap-add here
+    # yields exactly (n_a + n_h) * block. padding='valid' crops
+    # [start : start + n + ir - 1], which can extend past that — zero-pad
+    # up to the crop window so both paths return identical lengths/values.
+    crop_size = n + ir_size - 1 if padding == 'valid' else n
+    start = ((ir_size - 1) // 2 - 1 if delay_compensation < 0
+             else delay_compensation)
+    need = start + crop_size
+    if out.shape[-1] < need:
+        out = jnp.pad(out, ((0, 0), (0, need - out.shape[-1])))
     return crop_and_compensate_delay(out, n, ir_size, padding,
                                      delay_compensation)
 

@@ -75,6 +75,7 @@ class Trainer:
         self.first_phase = first_phase
         self.mesh = mesh if mesh is not None else mesh_lib.get_mesh()
         self._train_step = None
+        self._train_steps_scan = None
         self._eval_step = None
         # Delayed NaN guard: a bounded deque of (losses, pre-step state)
         # pairs, drained whenever it reaches nan_check_interval entries (and
@@ -179,6 +180,30 @@ class Trainer:
             except StopIteration:
                 pass
 
+    def block_prefetch(self, iterator, k: int, depth: int = 1):
+        """Yield stacked K-step device blocks for train_steps.
+
+        Groups ``k`` host batches per block, stages each block as ONE
+        device transfer (stack_batches), and stays ``depth`` blocks ahead
+        so staging overlaps the in-flight scanned dispatch — the K-step
+        analogue of device_prefetch. A trailing partial block (< k
+        batches) is dropped; pick steps_per_epoch divisible by k.
+        """
+        import collections
+        import itertools
+        it = iter(iterator)
+        buf = collections.deque()
+        depth = max(1, depth)
+        while True:
+            while len(buf) < depth:
+                blk = list(itertools.islice(it, k))
+                if len(blk) < k:
+                    break
+                buf.append(self.stack_batches(blk))
+            if not buf:
+                return
+            yield buf.popleft()
+
     # -- distribution -------------------------------------------------------
 
     def distribute_state(self, state: TrainState) -> TrainState:
@@ -242,6 +267,74 @@ class Trainer:
         # deleted it). The states here are a few MB, so donation buys
         # nothing.
         return jax.jit(train_step)
+
+    def _build_train_steps_scan(self):
+        """K chained optimization steps as ONE jitted program.
+
+        lax.scan over a stacked batch tree (leading axis = step index):
+        one dispatch + one host round-trip per K steps, amortizing the
+        relay's per-program dispatch floor and the per-step staging
+        serialization that the single-step path pays (VERDICT r4 item 1b).
+        Per-step rngs are derived inside the body from the carried step
+        counter, so the parameter trajectory is IDENTICAL to K calls of
+        train_step with default rng.
+        """
+        model = self.model
+        optimizer = self.optimizer
+
+        def body(state_tree, batch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(17),
+                                     state_tree['step'])
+
+            def loss_fn(p):
+                outs = model(p, batch, training=True, rng=rng)
+                return outs['losses']['total_loss'], outs['losses']
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(
+                state_tree['params'])
+            updates, opt_state = optimizer.update(
+                grads, state_tree['opt_state'], state_tree['params'])
+            params = optax.apply_updates(state_tree['params'], updates)
+            return ({'params': params, 'opt_state': opt_state,
+                     'step': state_tree['step'] + 1}, losses)
+
+        def steps(state_tree, batches):
+            return jax.lax.scan(body, state_tree, batches)
+
+        return jax.jit(steps)
+
+    def stack_batches(self, batches):
+        """Stack K host batches into one device tree with a leading step
+        axis (replicated) and the batch axis sharded over the mesh —
+        the input layout train_steps expects."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        keys = [k for k in batches[0] if k != 'filename']
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+                   for k in keys}
+        axis = self.mesh.axis_names[0]
+        sharding = NamedSharding(self.mesh, P(None, axis))
+        return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+
+    def train_steps(self, state: TrainState, batches
+                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Run len(batches) optimization steps in a single dispatch.
+
+        ``batches``: a list of host batch dicts, or a pre-stacked device
+        tree from stack_batches (leading axis = step). Returned losses are
+        stacked device arrays of shape (K,). The delayed NaN guard treats
+        the whole block as one entry: on a non-finite loss anywhere in the
+        block, NanLossError carries the state from before the BLOCK (the
+        crashed_iter granularity coarsens from 1 step to K steps).
+        """
+        if self._train_steps_scan is None:
+            self._train_steps_scan = self._build_train_steps_scan()
+        if isinstance(batches, (list, tuple)):
+            batches = self.stack_batches(batches)
+        new_tree, losses = self._train_steps_scan(state.tree(), batches)
+        if len(self._pending_guard) >= self.nan_check_interval:
+            self.check_pending()
+        self._pending_guard.append((losses, state))
+        return TrainState.from_tree(new_tree), losses
 
     def _build_eval_step(self):
         model = self.model

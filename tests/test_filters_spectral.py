@@ -63,6 +63,35 @@ def test_fft_convolve_partitioned_matches_numpy():
                                        atol=2e-6)
 
 
+def test_fft_convolve_partitioned_valid_padding():
+    """padding='valid' regression (ADVICE r4): the overlap-add output can
+    be shorter than the valid-crop window [start, start + n + ir - 1);
+    the partitioned path must zero-pad up to it, matching the one-big-FFT
+    path's length AND values exactly."""
+    rng = np.random.RandomState(7)
+    for b, n, L, comp in [(1, 40000, 30000, -1), (2, 40000, 30000, 0),
+                          (1, 96001, 48000, -1)]:
+        audio = rng.randn(b, n).astype(np.float32)
+        ir = rng.randn(1, L).astype(np.float32)
+        assert filters.get_fft_size(n, L) >= filters._PARTITIONED_MIN_FFT
+        got = np.asarray(filters.fft_convolve(
+            jnp.asarray(audio), jnp.asarray(ir), padding='valid',
+            delay_compensation=comp))
+        assert got.shape[-1] == n + L - 1
+        start = (L - 1) // 2 - 1 if comp < 0 else comp
+        for i in range(b):
+            full = np.convolve(audio[i].astype(np.float64),
+                               ir[0].astype(np.float64))
+            # The crop window extends past the linear convolution; the
+            # one-big-FFT reference is zero there.
+            want = np.zeros(start + n + L - 1)
+            want[:full.shape[0]] = full
+            want = want[start:start + n + L - 1]
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(got[i] / scale, want / scale,
+                                       atol=2e-6)
+
+
 def test_fft_convolve_partitioned_gradient_finite():
     import jax
 

@@ -80,6 +80,21 @@ def test_auto_resume_epoch_accounting(tmp_path, tiny_cli_env):
     assert meta['phase_start_step'] == 0
 
 
+def test_steps_per_dispatch_cli(tmp_path, tiny_cli_env):
+    """K-step scan dispatch through the CLI (-k 2): step accounting and
+    checkpoints must match the single-step path's (4 steps -> ckpt-4)."""
+    import train_single_phase as tsp
+
+    args = tsp.process_args([
+        '--batch_size', '2', '--steps_per_epoch', '4',
+        '--steps_per_dispatch', '2', '--epochs', '1', '--n_devices', '1',
+        '-c', 'tiny', str(tmp_path / 'data'), str(tmp_path / 'exp')])
+    tsp.main(args)
+    last_iter = str(tmp_path / 'exp' / 'phase_1' / 'last_iter')
+    ckpt = checkpoints.latest_checkpoint(last_iter)
+    assert ckpt.endswith('ckpt-4')
+
+
 def _read_params(ckpt_dir, template):
     restored = checkpoints.restore_checkpoint(
         ckpt_dir, {'params': template, 'opt_state': None, 'step': 0})

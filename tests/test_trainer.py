@@ -45,6 +45,54 @@ def test_train_step_reduces_loss(setup):
     assert losses['total_loss'] < losses_first['total_loss']
 
 
+def test_train_steps_scan_matches_sequential(setup):
+    """K-step scan dispatch (round 5): train_steps must produce the same
+    parameter trajectory and losses as K calls of train_step with the
+    default rng (both derive step rngs via fold_in(PRNGKey(17), step))."""
+    model, trainer, state, batch = setup
+    k = 3
+    # Vary the batches across steps so a step-ordering bug can't hide.
+    rng = np.random.RandomState(3)
+    batches = []
+    for _ in range(k):
+        b = {kk: (v + rng.randn(*v.shape).astype(v.dtype) * 0.01
+                  if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+             for kk, v in batch.items()}
+        batches.append(b)
+
+    state_seq = state
+    seq_losses = []
+    for b in batches:
+        state_seq, losses = trainer.train_step(state_seq, b)
+        seq_losses.append(float(losses['total_loss']))
+
+    state_scan, scan_losses = trainer.train_steps(state, batches)
+    assert int(state_scan.step) == int(state_seq.step)
+    np.testing.assert_allclose(
+        np.asarray(scan_losses['total_loss']), np.asarray(seq_losses),
+        rtol=1e-5, atol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state_scan.params),
+            jax.tree_util.tree_leaves_with_path(state_seq.params)):
+        assert str(ka) == str(kb)
+        # scan-vs-unrolled compile differences reassociate f32 sums; after
+        # 3 Adam steps the trajectories agree to ~2e-5 abs. A step-ordering
+        # or rng bug would differ by the Adam update scale (~lr = 1e-3).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4, err_msg=str(ka))
+
+
+def test_train_steps_scan_nan_guard(setup):
+    """A non-finite loss inside a scanned block still raises, carrying the
+    pre-block state."""
+    model, trainer, state, batch = setup
+    bad = dict(batch, audio=np.full_like(batch['audio'], np.nan))
+    state2, _ = trainer.train_steps(state, [bad, bad])
+    with pytest.raises(NanLossError) as ei:
+        trainer.check_pending()
+    assert ei.value.state is state
+
+
 def test_phase_mask_freezes_params(setup):
     model, trainer, state, batch = setup
     before = np.asarray(state.params['inharm_model']['slopes_modifier'])

@@ -24,6 +24,16 @@ def process_args(argv=None):
     parser.add_argument('--steps_per_epoch', '-s', type=int, default=5000,
                         help="Number of steps of gradient descent per epoch. "
                              "(default: %(default)s)")
+    parser.add_argument('--steps_per_dispatch', '-k', type=int, default=1,
+                        help="Optimization steps per device dispatch: K>1 "
+                             "runs K steps as one jitted lax.scan program "
+                             "(Trainer.train_steps), amortizing the host "
+                             "round-trip and per-step staging over K — "
+                             "worthwhile on relayed/remote chips where the "
+                             "per-program dispatch floor is milliseconds. "
+                             "The NaN guard's crashed_iter granularity "
+                             "coarsens to K steps. steps_per_epoch should "
+                             "be divisible by K. (default: %(default)s)")
     parser.add_argument('--epochs', '-e', type=int, default=128,
                         help="Number of epochs. (default: %(default)s)")
     parser.add_argument('--lr', type=float, default=0.001,
@@ -127,11 +137,24 @@ def main(args):
     # device-side prefetch: batch N+1 is staged onto the chip while step N
     # computes, so the transfer never serializes with the step (measured
     # 126 -> 81 ms/step through the relayed chip, BASELINE.md round 3).
-    train_iterator = trainer.device_prefetch(pipeline.Prefetcher(
+    host_iterator = pipeline.Prefetcher(
         pipeline.get_training_dataset(
             args.maestro_path, **{**dataset_kwargs,
                                   'batch_size': local_bs,
-                                  'seed': jax.process_index()})))
+                                  'seed': jax.process_index()}))
+    k_steps = max(1, args.steps_per_dispatch)
+    if k_steps == 1:
+        train_iterator = trainer.device_prefetch(host_iterator)
+    else:
+        # K steps per dispatch: stacked K-batch blocks feed a jitted
+        # lax.scan of K optimization steps (one host round-trip per K).
+        train_iterator = trainer.block_prefetch(host_iterator, k_steps)
+        if args.steps_per_epoch % k_steps:
+            logging.warning(
+                "steps_per_epoch=%d is not divisible by "
+                "steps_per_dispatch=%d; running %d steps per epoch.",
+                args.steps_per_epoch, k_steps,
+                (args.steps_per_epoch // k_steps) * k_steps)
 
     exp_dir = osjoin(args.exp_dir, f'phase_{args.phase}')
     restore_from = args.restore
@@ -182,21 +205,24 @@ def main(args):
     writer = (summaries.SummaryWriter(osjoin(exp_dir, 'logs'))
               if is_lead else summaries.NullWriter())
 
+    # One call = k_steps optimization steps (1 with the default).
+    step_fn = trainer.train_step if k_steps == 1 else trainer.train_steps
+
     if args.profile > 0:
         # Tracing hook (SURVEY §5: the reference has none): capture the
         # steady-state step, so run one untraced step first to compile.
         from ddsp_piano_tpu.utils.jax_setup import profile_trace
-        state, _ = trainer.train_step(state, next(train_iterator))
+        n_profile = -(-args.profile // k_steps)  # ceil, in dispatches
+        state, _ = step_fn(state, next(train_iterator))
         if is_lead:
             with profile_trace(osjoin(exp_dir, 'profile')) as logdir:
-                for _ in range(args.profile):
-                    state, _ = trainer.train_step(state,
-                                                  next(train_iterator))
+                for _ in range(n_profile):
+                    state, _ = step_fn(state, next(train_iterator))
             logging.info("Profiler trace (%d steps) written to %s",
-                         args.profile, logdir)
+                         n_profile * k_steps, logdir)
         else:
-            for _ in range(args.profile):
-                state, _ = trainer.train_step(state, next(train_iterator))
+            for _ in range(n_profile):
+                state, _ = step_fn(state, next(train_iterator))
 
     loss_keys = model.loss_keys()
     try:
@@ -205,16 +231,19 @@ def main(args):
 
             # ----------------- fit training data -----------------
             epoch_losses = {k: 0.0 for k in loss_keys}
-            for _ in range(args.steps_per_epoch):
-                state, losses = trainer.train_step(state,
-                                                   next(train_iterator))
+            steps_done = (args.steps_per_epoch // k_steps) * k_steps
+            for _ in range(args.steps_per_epoch // k_steps):
+                state, losses = step_fn(state, next(train_iterator))
                 for k in loss_keys:
-                    epoch_losses[k] += losses[k]
+                    # K>1 yields stacked (K,) device losses; the sum stays
+                    # lazy on-device either way (no per-step host sync).
+                    epoch_losses[k] += (losses[k] if k_steps == 1
+                                        else losses[k].sum())
 
             logging.info("Epoch %d training loss: %.4f", epoch,
-                         epoch_losses['total_loss'] / args.steps_per_epoch)
+                         epoch_losses['total_loss'] / steps_done)
             writer.scalars('train_loss',
-                           {k: v / args.steps_per_epoch
+                           {k: v / steps_done
                             for k, v in epoch_losses.items()}, step)
             if is_lead:
                 trainer.save(state, osjoin(exp_dir, 'last_iter'),
