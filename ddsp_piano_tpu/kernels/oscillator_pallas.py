@@ -77,6 +77,14 @@ _COS6 = (9.999999875e-01, -1.973920397e+01, 6.493908942e+01,
 _SIN6 = (6.283185302e+00, -4.134170018e+01, 8.160511939e+01,
          -7.670278730e+01, 4.202399178e+01, -1.489235342e+01,
          3.227346678e+00)
+# Degree-4 variants for GRADIENT work only (backward kernel opt-in): max
+# abs error 1.2e-4 (cos) / 3.7e-5 (sin) — far inside training-gradient
+# tolerance (the scan-VJP reference itself differs ~1e-3 rel from the
+# kernel through bf16 matmuls), never used for rendered audio.
+_COS4 = (9.999681959e-01, -1.973229255e+01, 6.470140570e+01,
+         -8.259851900e+01, 4.606319347e+01)
+_SIN4 = (6.283166561e+00, -4.133763108e+01, 8.146544324e+01,
+         -7.503236765e+01, 3.381005338e+01)
 
 
 def _poly_eval(coeffs, t):
@@ -113,8 +121,11 @@ def _sincos(phi, trig: str):
     'sqrt' keeps the native cos and reconstructs |sin| = sqrt(1 - cos^2)
     with the sign taken from the range-reduced phase — half the native
     transcendentals, but absolute sin error grows to ~sqrt(eps) near
-    sin = 0 (fine for gradients, not for audio)."""
-    _check_trig(trig, ('native', 'poly', 'sqrt'))
+    sin = 0 (fine for gradients, not for audio).
+
+    'poly4' drops the shared polynomials to degree 4 (~1.2e-4 max abs
+    error) — gradient-precision trig for the backward kernel only."""
+    _check_trig(trig, ('native', 'poly', 'sqrt', 'poly4'))
     if trig == 'native':
         return jnp.sin(phi), jnp.cos(phi)
     if trig == 'sqrt':
@@ -124,6 +135,8 @@ def _sincos(phi, trig: str):
         return jnp.where(x >= 0.0, s, -s), c
     x = _range_reduce(phi)
     t = x * x
+    if trig == 'poly4':
+        return x * _poly_eval(_SIN4, t), _poly_eval(_COS4, t)
     return x * _poly_eval(_SIN6, t), _poly_eval(_COS6, t)
 
 
@@ -363,7 +376,7 @@ def _osc_skip_bwd_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
                          phase0_ref, g_ref,
                          d_flo_ref, d_fhi_ref, d_alo_ref, d_ahi_ref,
                          d_p0_ref, *, up: int, sample_rate: float,
-                         trig: str = 'native'):
+                         trig: str = 'native', reduce: str = 'vpu'):
     """Gradients of the framewise render w.r.t. its five control arrays.
 
     Same cell/tile structure as the forward, but the skip predicate is
@@ -376,6 +389,11 @@ def _osc_skip_bwd_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
     The jnp backward materializes (batch, frames, up, K) intermediates in
     HBM (~5 GB for the dafx22 training shapes — measured ~60 ms of the
     111 ms step); here they only ever exist tile-by-tile in VMEM.
+
+    reduce='mxu' computes the five weighted up-axis reductions as two
+    dot_generals against constant (stream, up) weight matrices — the
+    contraction rides the (otherwise idle) MXU instead of adding ~10
+    VPU multiply/add chains per cell to the transcendental-bound body.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -386,6 +404,17 @@ def _osc_skip_bwd_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
                                  dimension=1).astype(jnp.float32)
     h = jnp.sin((math.pi / (2.0 * up)) * s) ** 2
     tri = (s * (s + 1.0)) * (0.5 / up)
+    if reduce == 'mxu':
+        su = s[0, :, 0][None, :]                               # (1, up)
+        h_row = h[0, :, 0][None, :]
+        tri_row = tri[0, :, 0][None, :]
+        w_gc = jnp.concatenate([1.0 - h_row, h_row], axis=0)   # (2, up)
+        w_gs = jnp.concatenate(
+            [jnp.ones_like(su),
+             w_scale * ((su + 1.0) - tri_row),
+             w_scale * tri_row], axis=0)                       # (3, up)
+    elif reduce != 'vpu':
+        raise ValueError(f"reduce={reduce!r}: expected 'vpu' or 'mxu'")
 
     for ref in (d_flo_ref, d_fhi_ref, d_alo_ref, d_ahi_ref, d_p0_ref):
         ref[0] = jnp.zeros_like(ref[0])
@@ -404,25 +433,38 @@ def _osc_skip_bwd_kernel(kt_ref, f_lo_ref, f_hi_ref, a_lo_ref, a_hi_ref,
         amp = jnp.where(mask, a_lo * (1.0 - h) + a_hi * h, 0.0)
         sin_p, cos_p = _sincos(phase, trig)
         gc = g * jnp.where(mask, cos_p, 0.0)            # (8, up, fpb)
-        d_alo_ref[0, sl, :] = jnp.sum(gc * (1.0 - h), axis=1)
-        d_ahi_ref[0, sl, :] = jnp.sum(gc * h, axis=1)
         gs = g * amp * (-sin_p)
-        d_p0_ref[0, sl, :] = jnp.sum(gs, axis=1)
-        d_flo_ref[0, sl, :] = jnp.sum(
-            gs * (w_scale * ((s + 1.0) - tri)), axis=1)
-        d_fhi_ref[0, sl, :] = jnp.sum(gs * (w_scale * tri), axis=1)
+        if reduce == 'mxu':
+            dn = (((1,), (1,)), ((), ()))
+            r_gc = jax.lax.dot_general(
+                w_gc, gc, dn, preferred_element_type=jnp.float32)
+            r_gs = jax.lax.dot_general(
+                w_gs, gs, dn, preferred_element_type=jnp.float32)
+            d_alo_ref[0, sl, :] = r_gc[0]               # (8, fpb)
+            d_ahi_ref[0, sl, :] = r_gc[1]
+            d_p0_ref[0, sl, :] = r_gs[0]
+            d_flo_ref[0, sl, :] = r_gs[1]
+            d_fhi_ref[0, sl, :] = r_gs[2]
+        else:
+            d_alo_ref[0, sl, :] = jnp.sum(gc * (1.0 - h), axis=1)
+            d_ahi_ref[0, sl, :] = jnp.sum(gc * h, axis=1)
+            d_p0_ref[0, sl, :] = jnp.sum(gs, axis=1)
+            d_flo_ref[0, sl, :] = jnp.sum(
+                gs * (w_scale * ((s + 1.0) - tri)), axis=1)
+            d_fhi_ref[0, sl, :] = jnp.sum(gs * (w_scale * tri), axis=1)
         return carry
 
     jax.lax.fori_loop(0, kt_max, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def render_framewise_pallas_skip_vjp(controls: FramewiseOscControls,
                                      g: Array,
                                      upsampling: int,
                                      sample_rate: int,
                                      interpret: bool = False,
-                                     trig: str = 'native'
+                                     trig: str = 'native',
+                                     reduce: str = 'vpu'
                                      ) -> FramewiseOscControls:
     """Control gradients for the skipping render; g is the audio
     cotangent (B, n_frames * up). Returns a FramewiseOscControls of
@@ -471,7 +513,8 @@ def render_framewise_pallas_skip_vjp(controls: FramewiseOscControls,
         out_specs=[out_spec] * 5,
     )
     kernel = functools.partial(_osc_skip_bwd_kernel, up=up,
-                               sample_rate=float(sample_rate), trig=trig)
+                               sample_rate=float(sample_rate), trig=trig,
+                               reduce=reduce)
     out_shape = [jax.ShapeDtypeStruct((b, k_pad, f_pad), jnp.float32)] * 5
     grads = pl.pallas_call(
         kernel,

@@ -326,9 +326,40 @@ def _render_skip_partitioned(upsampling: int, sample_rate: int,
     return render_cp
 
 
+def _osc_bwd_knobs(trig: str):
+    """(trig, reduce) for the BACKWARD kernel, read at trace time.
+
+    DDSP_PIANO_TPU_TRIG_BWD: gradient-only trig override — 'poly4'
+    (degree-4 sincos, ~4e-5 rel grad delta; parity:
+    benchmarks/parity_osc_bwd_variants.py) or 'sqrt' are valid here even
+    though they never are for rendered audio. Default: 'poly4' when the
+    forward runs 'poly' (round-5 A/B, benchmarks/ab_osc_bwd.py: dafx22
+    train step 28.25 -> 27.30 ms median, 6 interleaved reps); follows the
+    forward trig under DDSP_PIANO_TPU_TRIG=native so that remains a full
+    native-transcendental revert.
+    DDSP_PIANO_TPU_OSC_BWD_REDUCE: 'vpu' (default) or 'mxu' (weighted
+    up-axis reductions as dot_generals on the idle MXU — measured
+    NEGATIVE, +0.4 ms/step in the same A/B; kept as the measurement
+    arm)."""
+    import os
+    default_bwd = 'poly4' if trig == 'poly' else trig
+    bwd_trig = os.environ.get('DDSP_PIANO_TPU_TRIG_BWD', default_bwd)
+    if bwd_trig not in ('poly', 'native', 'poly4', 'sqrt'):
+        raise ValueError(
+            f"DDSP_PIANO_TPU_TRIG_BWD={bwd_trig!r}: expected 'poly', "
+            "'native', 'poly4' or 'sqrt'")
+    reduce = os.environ.get('DDSP_PIANO_TPU_OSC_BWD_REDUCE', 'vpu')
+    if reduce not in ('vpu', 'mxu'):
+        raise ValueError(
+            f"DDSP_PIANO_TPU_OSC_BWD_REDUCE={reduce!r}: expected "
+            "'vpu' or 'mxu'")
+    return bwd_trig, reduce
+
+
 @functools.lru_cache(maxsize=None)
 def _render_skip_vjp_partitioned(upsampling: int, sample_rate: int,
-                                 trig: str = 'poly'):
+                                 trig: str = 'poly',
+                                 reduce: str = 'vpu'):
     """Batch-partitionable wrapper for the backward kernel (same story as
     _render_skip_partitioned: grads shard over the voice-batch axis)."""
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -339,7 +370,7 @@ def _render_skip_vjp_partitioned(upsampling: int, sample_rate: int,
             render_framewise_pallas_skip_vjp)
         return tuple(render_framewise_pallas_skip_vjp(
             FramewiseOscControls(f_lo, f_hi, a_lo, a_hi, phase0), g,
-            upsampling, sample_rate, False, trig))
+            upsampling, sample_rate, False, trig, reduce))
 
     vjp_cp = custom_partitioning(_vjp)
 
@@ -401,12 +432,14 @@ def _render_skip_batched(upsampling: int, sample_rate: int,
 
 @functools.lru_cache(maxsize=None)
 def _render_skip_vjp_batched(upsampling: int, sample_rate: int,
-                             trig: str = 'poly'):
+                             trig: str = 'poly',
+                             reduce: str = 'vpu'):
     """vmap rule for the backward kernel (jax.vmap of a custom_vjp function
     vmaps its bwd too, so the gradient path needs the same collapse)."""
     from jax.custom_batching import custom_vmap
 
-    vjp_cp = _render_skip_vjp_partitioned(upsampling, sample_rate, trig)
+    vjp_cp = _render_skip_vjp_partitioned(upsampling, sample_rate, trig,
+                                          reduce)
 
     @custom_vmap
     def vjp(f_lo, f_hi, a_lo, a_hi, phase0, g):
@@ -457,8 +490,9 @@ def _render_skip_grad(upsampling: int, sample_rate: int,
         if os.environ.get('DDSP_PIANO_TPU_PALLAS_BWD', '') == '0':
             _, vjp = jax.vjp(jnp_render, *controls)
             return vjp(g)
-        return _render_skip_vjp_batched(upsampling, sample_rate, trig)(
-            *controls, g)
+        bwd_trig, reduce = _osc_bwd_knobs(trig)
+        return _render_skip_vjp_batched(upsampling, sample_rate, bwd_trig,
+                                        reduce)(*controls, g)
 
     render.defvjp(fwd, bwd)
     return render
