@@ -326,7 +326,11 @@ def _train_step(results):
     # host->device staging with the in-flight step; deque NaN guard drains
     # every 16 steps. Host batches cycle (distinct arrays, like tf.data),
     # so each step pays a genuine staging that must hide behind compute.
-    def cli_ms():
+    # packed=True is the CLI default (--staging packed): the whole batch
+    # ships as ONE device_put instead of one per key — through the relay
+    # the per-put fixed cost dominates (dict 49.5 ms vs packed 14.3 ms for
+    # the same 1.8 MB, benchmarks/profile_relay_staging.py).
+    def cli_ms(packed):
         import itertools
         walls = []
         host_batches = [
@@ -335,7 +339,8 @@ def _train_step(results):
              for k, v in batch.items()} for _ in range(4)]
         for _ in range(3):
             it = trainer.device_prefetch(
-                itertools.islice(itertools.cycle(host_batches), n + 1))
+                itertools.islice(itertools.cycle(host_batches), n + 1),
+                packed=packed)
             first = next(it)   # staged outside the timed window (warm)
             s = None
             t0 = time.perf_counter()
@@ -348,25 +353,35 @@ def _train_step(results):
         return med, 100 * (max(walls) - min(walls)) / med
 
     trainer_state = [state]
-    med_cli, spread_cli = cli_ms()
+    med_cli, spread_cli = cli_ms(packed=True)
     results['train_cli_ms'] = round(med_cli, 2)
     results['train_cli_ms_spread_pct'] = round(spread_cli, 1)
+    med_cli_d, spread_cli_d = cli_ms(packed=False)
+    results['train_cli_dict_ms'] = round(med_cli_d, 2)
+    results['train_cli_dict_ms_spread_pct'] = round(spread_cli_d, 1)
     state = trainer_state[0]
 
     # K-step scan dispatch (VERDICT r4 item 1b): one jitted lax.scan
     # program runs K steps per host round-trip, amortizing the relay
-    # dispatch floor AND the staging serialization. Timed end-to-end
-    # including the host-side stacking + staging of each K-block.
+    # dispatch floor AND the staging serialization. Timed end-to-end with
+    # packed K-block staging overlapped via block_prefetch (the CLI's
+    # --steps_per_dispatch path at its --staging packed default).
+    import itertools
     k_scan = 10
     host_blocks = [batch] * k_scan
-    state_scan, _ = trainer.train_steps(state, host_blocks)  # compile
+    state_scan, _ = trainer.train_steps(
+        state, trainer.pack_block(host_blocks))  # compile
     jax.block_until_ready(state_scan.params)
     walls = []
     for _ in range(3):
         s = state_scan
+        it = trainer.block_prefetch(
+            itertools.islice(itertools.cycle([batch]), 4 * k_scan),
+            k=k_scan, packed=True)
+        next(it)  # first block staged outside the timed window (warm)
         t0 = time.perf_counter()
-        for _ in range(3):
-            s, _ = trainer.train_steps(s, host_blocks)
+        for blk in it:
+            s, _ = trainer.train_steps(s, blk)
         jax.block_until_ready(s.params)
         walls.append((time.perf_counter() - t0) / (3 * k_scan) * 1e3)
     med_scan = sorted(walls)[1]

@@ -94,11 +94,14 @@ def main():
     state, _ = trainer.train_step(state, staged)
     w = widen(trainer.distribute_batch(c_hosts[0]))
     state, _ = trainer.train_step(state, w)
+    pk = trainer.pack_batch(hosts[0])
+    state, _ = trainer.train_step(state, pk)  # packed-program compile
     jax.block_until_ready(state.params)
 
     results = {k: [] for k in
                ('put_only', 'step_only', 'serial', 'overlap',
-                'compact_put', 'compact_overlap')}
+                'compact_put', 'compact_overlap',
+                'packed_put', 'packed_overlap')}
     for rep in range(REPS):
         # put_only
         t0 = time.perf_counter()
@@ -147,6 +150,24 @@ def main():
             d = widen(trainer.distribute_batch(c_hosts[(i + 1) % 4]))
         jax.block_until_ready(state.params)
         results['compact_overlap'].append(
+            (time.perf_counter() - t0) / N * 1e3)
+
+        # packed put: whole batch as ONE (b, width) f32 device_put
+        # (training/staging.py — the train CLI's --staging packed default)
+        t0 = time.perf_counter()
+        for i in range(N):
+            d = trainer.pack_batch(hosts[i % 4])
+        jax.block_until_ready(d)
+        results['packed_put'].append((time.perf_counter() - t0) / N * 1e3)
+
+        # packed overlap: dispatch packed step N, pack+stage N+1
+        d = trainer.pack_batch(hosts[0])
+        t0 = time.perf_counter()
+        for i in range(N):
+            state, _ = trainer.train_step(state, d)
+            d = trainer.pack_batch(hosts[(i + 1) % 4])
+        jax.block_until_ready(state.params)
+        results['packed_overlap'].append(
             (time.perf_counter() - t0) / N * 1e3)
         print(f'rep {rep}: ' + '  '.join(
             f'{k} {v[-1]:.2f}' for k, v in results.items()), flush=True)

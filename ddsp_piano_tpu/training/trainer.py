@@ -77,6 +77,7 @@ class Trainer:
         self._train_step = None
         self._train_steps_scan = None
         self._eval_step = None
+        self._packer = None  # lazy BatchPacker for packed staging
         # Delayed NaN guard: a bounded deque of (losses, pre-step state)
         # pairs, drained whenever it reaches nan_check_interval entries (and
         # unconditionally by save/validation_step). Each drain costs one
@@ -151,7 +152,49 @@ class Trainer:
         for batch in dataset:
             yield self.distribute_batch(batch)
 
-    def device_prefetch(self, iterator, depth: int = 1):
+    def pack_batch(self, batch):
+        """Stage one host batch as a single packed ``(b, width)`` array.
+
+        ONE device transfer instead of one per key — through a relayed
+        chip each put pays a fixed ~5-12 ms cost, so the 4-key recipe
+        batch staged as a dict costs ~50 ms vs ~14 ms packed (measured,
+        benchmarks/profile_relay_staging.py). train_step/train_steps
+        unpack INSIDE the jitted program; numerics are bit-identical to
+        dict staging (training/staging.py).
+        """
+        if self._packer is None:
+            from ddsp_piano_tpu.training.staging import BatchPacker
+            self._packer = BatchPacker(batch)
+        return mesh_lib.shard_batch(
+            {'packed': self._packer.pack(batch)}, self.mesh)['packed']
+
+    def pack_block(self, batches):
+        """Stage K host batches as one packed ``(K, b, width)`` array —
+        the packed analogue of stack_batches for train_steps."""
+        if self._packer is None:
+            from ddsp_piano_tpu.training.staging import BatchPacker
+            self._packer = BatchPacker(batches[0])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        block = self._packer.pack_block(batches)
+        sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        return jax.device_put(block, sharding)
+
+    def _unpack_in_trace(self, batch):
+        """Inside-jit branch: a packed array becomes the batch dict.
+
+        Structure is static under tracing, so the dict and packed paths
+        compile as separate programs of the same downstream HLO.
+        """
+        if isinstance(batch, dict):
+            return batch
+        if self._packer is None:
+            raise ValueError(
+                "Got a packed batch array but no BatchPacker — stage "
+                "batches via pack_batch/pack_block.")
+        return self._packer.unpack(batch)
+
+    def device_prefetch(self, iterator, depth: int = 1,
+                        packed: bool = False):
         """Yield device-staged batches, staying ``depth`` batches ahead.
 
         Staging batch N+1 happens right after the consumer dispatched its
@@ -163,12 +206,13 @@ class Trainer:
         cost inside tf.data prefetch + tf.distribute's input pipelines.
         """
         import collections
+        stage = self.pack_batch if packed else self.distribute_batch
         it = iter(iterator)
         buf = collections.deque()
         depth = max(1, depth)
         try:
             while len(buf) < depth:
-                buf.append(self.distribute_batch(next(it)))
+                buf.append(stage(next(it)))
         except StopIteration:
             pass
         while buf:
@@ -176,11 +220,12 @@ class Trainer:
             # Control returns here after the consumer dispatched its step
             # on the yielded batch — stage the next one while it runs.
             try:
-                buf.append(self.distribute_batch(next(it)))
+                buf.append(stage(next(it)))
             except StopIteration:
                 pass
 
-    def block_prefetch(self, iterator, k: int, depth: int = 1):
+    def block_prefetch(self, iterator, k: int, depth: int = 1,
+                       packed: bool = False):
         """Yield stacked K-step device blocks for train_steps.
 
         Groups ``k`` host batches per block, stages each block as ONE
@@ -191,6 +236,7 @@ class Trainer:
         """
         import collections
         import itertools
+        stage = self.pack_block if packed else self.stack_batches
         it = iter(iterator)
         buf = collections.deque()
         depth = max(1, depth)
@@ -199,7 +245,7 @@ class Trainer:
                 blk = list(itertools.islice(it, k))
                 if len(blk) < k:
                     break
-                buf.append(self.stack_batches(blk))
+                buf.append(stage(blk))
             if not buf:
                 return
             yield buf.popleft()
@@ -247,8 +293,10 @@ class Trainer:
     def _build_train_step(self):
         model = self.model
         optimizer = self.optimizer
+        trainer = self
 
         def train_step(state_tree, batch, rng):
+            batch = trainer._unpack_in_trace(batch)
             params = state_tree['params']
 
             def loss_fn(p):
@@ -281,8 +329,10 @@ class Trainer:
         """
         model = self.model
         optimizer = self.optimizer
+        trainer = self
 
         def body(state_tree, batch):
+            batch = trainer._unpack_in_trace(batch)
             rng = jax.random.fold_in(jax.random.PRNGKey(17),
                                      state_tree['step'])
 
@@ -389,7 +439,8 @@ class Trainer:
             # fold_in with the device step scalar: stays async (an int()
             # here would block on the previous step every call).
             rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
-        batch = self.distribute_batch(batch)
+        if isinstance(batch, dict):
+            batch = self.distribute_batch(batch)
         new_tree, losses = self._train_step(state.tree(), batch, rng)
         if len(self._pending_guard) >= self.nan_check_interval:
             # Drain BEFORE appending this step's guard: the drained steps

@@ -34,6 +34,15 @@ def process_args(argv=None):
                              "The NaN guard's crashed_iter granularity "
                              "coarsens to K steps. steps_per_epoch should "
                              "be divisible by K. (default: %(default)s)")
+    parser.add_argument('--staging', choices=('packed', 'dict'),
+                        default='packed',
+                        help="How batches are staged host->device. "
+                             "'packed' (default) ships each batch as ONE "
+                             "contiguous array and unpacks inside the "
+                             "jitted step — numerically identical to "
+                             "'dict' but one transfer instead of one per "
+                             "feature, which matters on relayed/remote "
+                             "chips (measured ~50 -> ~14 ms per batch).")
     parser.add_argument('--epochs', '-e', type=int, default=128,
                         help="Number of epochs. (default: %(default)s)")
     parser.add_argument('--lr', type=float, default=0.001,
@@ -143,12 +152,15 @@ def main(args):
                                   'batch_size': local_bs,
                                   'seed': jax.process_index()}))
     k_steps = max(1, args.steps_per_dispatch)
+    packed = args.staging == 'packed'
     if k_steps == 1:
-        train_iterator = trainer.device_prefetch(host_iterator)
+        train_iterator = trainer.device_prefetch(host_iterator,
+                                                 packed=packed)
     else:
         # K steps per dispatch: stacked K-batch blocks feed a jitted
         # lax.scan of K optimization steps (one host round-trip per K).
-        train_iterator = trainer.block_prefetch(host_iterator, k_steps)
+        train_iterator = trainer.block_prefetch(host_iterator, k_steps,
+                                                packed=packed)
         if args.steps_per_epoch % k_steps:
             logging.warning(
                 "steps_per_epoch=%d is not divisible by "
