@@ -290,6 +290,21 @@ def _train_step(results):
     trainer = Trainer(model, learning_rate=1e-3, first_phase=True)
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch = get_dummy_data(batch_size=6, duration=3.0, sample_rate=16000)
+    # Quantize the dummy batch to production provenance: audio to 16-bit
+    # PCM values (the wav decode emits int16/32768), conditioning to
+    # [integer pitch, velocity/127], pedal to 0/1. Same shapes/programs;
+    # lets the packed staging keys measure the 16-bit wire lanes real
+    # MAESTRO batches get (tests/test_trainer.py pins that contract).
+    batch = dict(batch)
+    batch['audio'] = (np.round(np.asarray(batch['audio']) * 32768.0)
+                      .clip(-32768, 32767).astype(np.float32)
+                      / np.float32(32768.0))
+    cond = np.asarray(batch['conditioning'])
+    batch['conditioning'] = np.stack(
+        [np.round(cond[..., 0] * 87 + 21).astype(np.float32),
+         np.round(cond[..., 1] * 127).astype(np.float32)
+         / np.float32(127.0)], axis=-1)
+    batch['pedal'] = np.round(np.asarray(batch['pedal'])).astype(np.float32)
 
     # Warm-up (compile); blocks of 30 steps, median + spread of 3 blocks.
     # train_step_ms re-stages the numpy batch every step (the historical

@@ -75,6 +75,20 @@ def main():
     nbytes = batch_bytes(batch)
     print(f'batch bytes: {nbytes/1e6:.3f} MB', flush=True)
 
+    # Production-provenance values so the packed arms hit the 16-bit wire
+    # lanes (audio int16/32768, conditioning [pitch, vel/127], pedal 0/1 —
+    # what the real pipeline emits; tests/test_trainer.py pins this).
+    batch = dict(batch)
+    batch['audio'] = (np.round(np.asarray(batch['audio']) * 32768.0)
+                      .clip(-32768, 32767).astype(np.float32)
+                      / np.float32(32768.0))
+    cond = np.asarray(batch['conditioning'])
+    batch['conditioning'] = np.stack(
+        [np.round(cond[..., 0] * 87 + 21).astype(np.float32),
+         np.round(cond[..., 1] * 127).astype(np.float32)
+         / np.float32(127.0)], axis=-1)
+    batch['pedal'] = np.round(np.asarray(batch['pedal'])).astype(np.float32)
+
     # distinct host arrays per step, like tf.data (defeats caching)
     hosts = [{k: np.array(v) for k, v in batch.items()} for _ in range(4)]
     c_hosts = [compact_host(h) for h in hosts]

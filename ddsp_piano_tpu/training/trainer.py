@@ -78,6 +78,11 @@ class Trainer:
         self._train_steps_scan = None
         self._eval_step = None
         self._packer = None  # lazy BatchPacker for packed staging
+        # 16-bit wire encoding for packed staging (training/staging.py):
+        # per-key lanes chosen from the first batch, bit-exact by
+        # construction (keys that don't round-trip get f32-split lanes).
+        # False forces f32-split for every key (--staging packed32).
+        self.pack_wire = True
         # Delayed NaN guard: a bounded deque of (losses, pre-step state)
         # pairs, drained whenever it reaches nan_check_interval entries (and
         # unconditionally by save/validation_step). Each drain costs one
@@ -155,16 +160,18 @@ class Trainer:
     def pack_batch(self, batch):
         """Stage one host batch as a single packed ``(b, width)`` array.
 
-        ONE device transfer instead of one per key — through a relayed
-        chip each put pays a fixed ~5-12 ms cost, so the 4-key recipe
-        batch staged as a dict costs ~50 ms vs ~14 ms packed (measured,
+        ONE device transfer instead of one per key, in a 16-bit wire
+        format that halves the bytes for production data — through a
+        relayed chip the per-put fixed cost AND the wire bandwidth both
+        bound staging (measured: dict 49.5 ms vs 14.3 ms for the same
+        1.8 MB as one array; wire ~70-126 MB/s hour-to-hour —
         benchmarks/profile_relay_staging.py). train_step/train_steps
         unpack INSIDE the jitted program; numerics are bit-identical to
-        dict staging (training/staging.py).
+        dict staging by construction (training/staging.py).
         """
         if self._packer is None:
             from ddsp_piano_tpu.training.staging import BatchPacker
-            self._packer = BatchPacker(batch)
+            self._packer = BatchPacker(batch, wire=self.pack_wire)
         return mesh_lib.shard_batch(
             {'packed': self._packer.pack(batch)}, self.mesh)['packed']
 
@@ -173,7 +180,7 @@ class Trainer:
         the packed analogue of stack_batches for train_steps."""
         if self._packer is None:
             from ddsp_piano_tpu.training.staging import BatchPacker
-            self._packer = BatchPacker(batches[0])
+            self._packer = BatchPacker(batches[0], wire=self.pack_wire)
         from jax.sharding import NamedSharding, PartitionSpec as P
         block = self._packer.pack_block(batches)
         sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))

@@ -245,30 +245,109 @@ def test_packed_staging_bit_exact(env):
 
 
 def test_batch_packer_contract():
-    """BatchPacker: exact int roundtrip, overflow and scalar rejection."""
+    """BatchPacker wire format: per-key lane selection from the template,
+    bit-exact roundtrip on every lane, per-batch contract enforcement."""
     from ddsp_piano_tpu.training.staging import BatchPacker
-    tmpl = {'a': np.arange(12, dtype=np.float32).reshape(2, 6),
+    rng = np.random.RandomState(0)
+    # Realistic provenance data: 16-bit PCM audio (int16/32768 — what the
+    # wav decode produces), MIDI conditioning ([pitch, velocity/127]),
+    # 0/1 pedal rolls, small int ids — plus an arbitrary-float key that
+    # must fall back to exact f32-split lanes.
+    audio = (rng.randint(-32768, 32768, (2, 64)).astype(np.float32)
+             / np.float32(32768.0))
+    pitch = rng.randint(21, 109, (2, 5, 3, 1)).astype(np.float32)
+    vel = (rng.randint(0, 128, (2, 5, 3, 1)).astype(np.float32)
+           / np.float32(127.0))
+    tmpl = {'audio': audio,
+            'conditioning': np.concatenate([pitch, vel], axis=-1),
+            'pedal': rng.randint(0, 2, (2, 5)).astype(np.float32),
             'ids': np.array([[3], [116]], np.int32),
+            'free': rng.randn(2, 7).astype(np.float32),
             'filename': np.array(['x', 'y'])}
     p = BatchPacker(tmpl)
+    enc = p.encodings()
+    assert enc['audio'] == 'i16x32768', enc
+    assert enc['conditioning'] == 'i16x127', enc
+    assert enc['pedal'] == 'u16' and enc['ids'] == 'u16', enc
+    assert enc['free'] == 'f32x2', enc
     packed = p.pack(tmpl)
-    assert packed.shape == (2, 7) and packed.dtype == np.float32
+    assert packed.dtype == np.uint16
+    # 64 + 30 + 5 + 1 one-lane + 7 two-lane = 114
+    assert packed.shape == (2, 114), packed.shape
     out = p.unpack(jnp.asarray(packed))
-    np.testing.assert_array_equal(np.asarray(out['a']), tmpl['a'])
+    for k in ('audio', 'conditioning', 'pedal', 'free'):
+        np.testing.assert_array_equal(np.asarray(out[k]), tmpl[k], err_msg=k)
+        assert out[k].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out['ids']), tmpl['ids'])
     assert out['ids'].dtype == jnp.int32
     # Block pack/unpack keeps the leading (K, b) axes.
     blk = p.pack_block([tmpl, tmpl])
     outb = p.unpack(jnp.asarray(blk))
-    assert outb['a'].shape == (2, 2, 6)
-    # Integers beyond exact-f32 range are rejected per-batch.
-    with pytest.raises(ValueError, match='float32'):
-        p.pack(dict(tmpl, ids=np.array([[2 ** 24], [0]], np.int32)))
+    assert outb['audio'].shape == (2, 2, 64)
+    np.testing.assert_array_equal(np.asarray(outb['audio'][1]), audio)
+    # A later batch violating the template's lane contract raises.
+    with pytest.raises(ValueError, match='i16\\*32768'):
+        p.pack(dict(tmpl, audio=audio + np.float32(1e-7)))
+    # wire=False forces exact f32-split lanes everywhere.
+    p32 = BatchPacker(tmpl, wire=False)
+    assert set(p32.encodings().values()) == {'f32x2', 'i32x2'}
+    out32 = p32.unpack(jnp.asarray(p32.pack(tmpl)))
+    for k in ('audio', 'conditioning', 'pedal', 'free', 'ids'):
+        np.testing.assert_array_equal(np.asarray(out32[k]), tmpl[k],
+                                      err_msg=k)
     # Scalar keys and non-f32 floats are rejected at template time.
     with pytest.raises(ValueError, match='batch axis'):
         BatchPacker({'s': np.float32(1.0)})
     with pytest.raises(ValueError, match='float32'):
         BatchPacker({'h': np.zeros((2, 3), np.float16)})
+    # Negative/large ints fall back to exact i32-split lanes.
+    pi = BatchPacker({'ids': np.array([[-5], [2 ** 24 + 1]], np.int32)})
+    assert pi.encodings()['ids'] == 'i32x2'
+    oi = pi.unpack(jnp.asarray(pi.pack(
+        {'ids': np.array([[-5], [2 ** 24 + 1]], np.int32)})))
+    np.testing.assert_array_equal(np.asarray(oi['ids']),
+                                  [[-5], [2 ** 24 + 1]])
+
+
+def test_real_pipeline_batch_wire_encodes_compact(tmp_path):
+    """The REAL data pipeline's batches (16-bit wav decode + MIDI rolls)
+    must hit the compact 16-bit wire lanes — half the staging bytes —
+    and round-trip bit-exactly (the production staging contract)."""
+    import pandas as pd
+
+    from ddsp_piano_tpu.data import midi, pipeline, audio_io
+    from ddsp_piano_tpu.training.staging import BatchPacker
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 261.6 * t)).astype(np.float32)
+    audio_io.write_wav(str(tmp_path / 'track.wav'), wav, sr)
+    midi.write_midi(str(tmp_path / 'track.mid'),
+                    [midi.Note(60, 80, 0.5, 2.0),
+                     midi.Note(64, 70, 1.0, 3.0)],
+                    [midi.ControlChange(0.2, 64, 90),
+                     midi.ControlChange(2.5, 64, 0)])
+    pd.DataFrame([{'split': 'train', 'year': 2018,
+                   'audio_filename': 'track.wav',
+                   'midi_filename': 'track.mid'}]).to_csv(
+        str(tmp_path / 'maestro-v3.0.0.csv'), index=False)
+    batch = next(iter(pipeline.get_training_dataset(
+        str(tmp_path), batch_size=2, duration=1.0, max_polyphony=4,
+        sample_rate=sr)))
+
+    p = BatchPacker(batch)
+    enc = p.encodings()
+    assert enc['audio'] == 'i16x32768', enc          # wav provenance
+    assert enc['conditioning'] == 'i16x127', enc     # MIDI provenance
+    assert enc['piano_model'] == 'u16', enc
+    assert not any(e.endswith('x2') for e in enc.values()), enc
+    dict_bytes = sum(np.asarray(v).nbytes for k, v in batch.items()
+                     if k != 'filename')
+    assert p.wire_bytes(2) * 2 == dict_bytes
+    out = p.unpack(jnp.asarray(p.pack(batch)))
+    for k in p.keys():
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), np.asarray(batch[k]), err_msg=k)
 
 
 def test_nan_guard_blocks_save(setup, tmp_path):

@@ -34,15 +34,19 @@ def process_args(argv=None):
                              "The NaN guard's crashed_iter granularity "
                              "coarsens to K steps. steps_per_epoch should "
                              "be divisible by K. (default: %(default)s)")
-    parser.add_argument('--staging', choices=('packed', 'dict'),
+    parser.add_argument('--staging', choices=('packed', 'packed32', 'dict'),
                         default='packed',
                         help="How batches are staged host->device. "
                              "'packed' (default) ships each batch as ONE "
-                             "contiguous array and unpacks inside the "
-                             "jitted step — numerically identical to "
-                             "'dict' but one transfer instead of one per "
-                             "feature, which matters on relayed/remote "
-                             "chips (measured ~50 -> ~14 ms per batch).")
+                             "contiguous 16-bit-wire array and unpacks "
+                             "inside the jitted step — bit-identical to "
+                             "'dict' by construction (keys that don't "
+                             "round-trip the 16-bit lanes use exact "
+                             "f32-split lanes), but one transfer instead "
+                             "of one per feature and ~half the wire "
+                             "bytes, which matters on relayed/remote "
+                             "chips. 'packed32' forces f32-split lanes "
+                             "for every key.")
     parser.add_argument('--epochs', '-e', type=int, default=128,
                         help="Number of epochs. (default: %(default)s)")
     parser.add_argument('--lr', type=float, default=0.001,
@@ -152,7 +156,8 @@ def main(args):
                                   'batch_size': local_bs,
                                   'seed': jax.process_index()}))
     k_steps = max(1, args.steps_per_dispatch)
-    packed = args.staging == 'packed'
+    packed = args.staging != 'dict'
+    trainer.pack_wire = args.staging != 'packed32'
     if k_steps == 1:
         train_iterator = trainer.device_prefetch(host_iterator,
                                                  packed=packed)
